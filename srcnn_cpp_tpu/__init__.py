@@ -1,0 +1,22 @@
+"""srcnn_cpp_tpu — a TPU-native super-resolution framework.
+
+A from-scratch re-design of the capabilities of the reference C++/OpenMP SRCNN
+binary (shuwang127/SRCNN_Cpp) for TPU hardware: JAX/XLA/Pallas compute path,
+pjit/shard_map parallelism over device meshes, and a small C++ host runtime
+for timing and host-side resampling.
+
+Public surface:
+
+* :func:`srcnn_cpp_tpu.pipeline.upscale` — full image pipeline (the
+  ``srcnn`` binary equivalent).
+* :func:`srcnn_cpp_tpu.pipeline.process_srcnn` — raw-buffer API (the
+  ``ProcessSRCNN`` libsrcnn equivalent, reference src/test.cpp:345).
+* :mod:`srcnn_cpp_tpu.models.srcnn` — the SRCNN 9-5-5 model on TPU.
+* :mod:`srcnn_cpp_tpu.parallel` — batch DP + spatial tile sharding with
+  halo exchange over a device mesh.
+* :mod:`srcnn_cpp_tpu.cli` — the ``srcnn`` command line.
+"""
+
+__version__ = "0.1.0"
+
+from .weights import SRCNNWeights, load_weights  # noqa: F401

@@ -1,0 +1,148 @@
+"""Bit-faithful NumPy emulation of the reference SRCNN binary.
+
+This module is the **test oracle**: a slow, simple, host-side re-statement of
+every numerical behavior of the reference pipeline (reference src/srcnn.cpp),
+used to validate the TPU compute path.  It reproduces, per SURVEY.md §2:
+
+* Y-only inference on OpenCV YCrCb (srcnn.cpp:509,540,609).
+* Unnormalized uint8 0-255 conv1 input (srcnn.cpp:297).
+* Replicate (clamp-to-edge) padding via index clamping (srcnn.cpp:269-280).
+* ReLU after conv1/conv2, none after conv3 (srcnn.cpp:304,319,238).
+* float32 accumulation for conv1/conv2 **in reference tap order**
+  (srcnn.cpp:291-316), float64 per-map accumulation for conv3 summed into a
+  float32 accumulator (srcnn.cpp:218-232).
+* Final quantization by float->int truncation then clamp to [0,255]
+  (srcnn.cpp:238-240, IntTrim at srcnn.cpp:77-81).
+* Output dims floor(w*scale), floor(h*scale) with float32 multiply
+  (srcnn.cpp:573-575, cv::Size int truncation).
+
+Colorspace conversion and the bicubic pre-upscale delegate to OpenCV's Python
+binding when available (the binding runs the *same* C++ code as the reference
+binary, so it is bit-exact by construction); pure-NumPy fallbacks implementing
+OpenCV's fixed-point arithmetic live in :mod:`srcnn_cpp_tpu.ops.color` and
+:mod:`srcnn_cpp_tpu.ops.resize` and are cross-checked against it in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .weights import SRCNNWeights, load_weights
+
+
+# ---------------------------------------------------------------------------
+# Padding / geometry helpers
+# ---------------------------------------------------------------------------
+
+def clamp_index_lut(n: int, pad: int) -> np.ndarray:
+    """Replicate-pad index LUT: reference IntTrim LUT (srcnn.cpp:269-280)."""
+    return np.clip(np.arange(n + 2 * pad) - pad, 0, n - 1)
+
+
+def scaled_size(w: int, h: int, scale: float) -> tuple[int, int]:
+    """Output (w, h): float32 multiply then int truncation (srcnn.cpp:573-575)."""
+    return (
+        int(np.float32(w) * np.float32(scale)),
+        int(np.float32(h) * np.float32(scale)),
+    )
+
+
+def replicate_pad(img: np.ndarray, pad: int) -> np.ndarray:
+    """Clamp-to-edge padding of a 2-D plane, identical to the index LUTs."""
+    r = clamp_index_lut(img.shape[0], pad)
+    c = clamp_index_lut(img.shape[1], pad)
+    return img[np.ix_(r, c)]
+
+
+# ---------------------------------------------------------------------------
+# Convolution stages (exact accumulation-order emulation)
+# ---------------------------------------------------------------------------
+
+def conv1_ref(y_u8: np.ndarray, w: SRCNNWeights) -> np.ndarray:
+    """Layer 1: 1->64, 9x9, replicate pad, ReLU.  Returns float32 [64, H, W].
+
+    Accumulates in float32 in the reference's row-major tap order
+    (srcnn.cpp:293-299) so per-pixel float rounding matches bit-for-bit.
+    """
+    h, wdt = y_u8.shape
+    src = replicate_pad(y_u8, 4).astype(np.float32)
+    out = np.zeros((64, h, wdt), dtype=np.float32)
+    k = w.conv1_w.reshape(64, 9, 9).astype(np.float32)
+    for i in range(9):
+        for j in range(9):
+            out += k[:, i, j][:, None, None] * src[None, i : i + h, j : j + wdt]
+    out += w.conv1_b.astype(np.float32)[:, None, None]
+    np.maximum(out, 0.0, out=out)
+    return out
+
+
+def conv2_ref(f1: np.ndarray, w: SRCNNWeights) -> np.ndarray:
+    """Layer 2: 64->32, 1x1, ReLU.  float32 accumulation in channel order
+    (srcnn.cpp:310-316).  Returns float32 [32, H, W]."""
+    k = w.conv2_w.reshape(32, 64).astype(np.float32)
+    out = np.zeros((32,) + f1.shape[1:], dtype=np.float32)
+    for i in range(64):
+        out += k[:, i][:, None, None] * f1[i][None]
+    out += w.conv2_b.astype(np.float32)[:, None, None]
+    np.maximum(out, 0.0, out=out)
+    return out
+
+
+def conv3_ref(f2: np.ndarray, w: SRCNNWeights) -> np.ndarray:
+    """Layer 3: 32->1, 5x5, replicate pad, no ReLU, truncating uint8 quantize.
+
+    Per reference srcnn.cpp:215-240: each map's 5x5 window accumulates in
+    float64; each map's total is then added into a float32 accumulator; the
+    bias is added in float32; the result is truncated toward zero and clamped
+    to [0,255].
+    """
+    _, h, wdt = f2.shape
+    k = w.conv3_w.reshape(32, 5, 5).astype(np.float64)
+    acc = np.zeros((h, wdt), dtype=np.float32)
+    for ch in range(32):
+        src = replicate_pad(f2[ch], 2).astype(np.float64)
+        m = np.zeros((h, wdt), dtype=np.float64)
+        for i in range(5):
+            for j in range(5):
+                m += k[ch, i, j] * src[i : i + h, j : j + wdt]
+        acc = (acc.astype(np.float64) + m).astype(np.float32)
+    acc += np.float32(w.conv3_b[0])
+    return quantize_trunc_u8(acc)
+
+
+def quantize_trunc_u8(x: np.ndarray) -> np.ndarray:
+    """float -> uint8 via C truncation-toward-zero then [0,255] clamp
+    (srcnn.cpp:238-240)."""
+    return np.clip(np.trunc(x), 0, 255).astype(np.uint8)
+
+
+def srcnn_y_ref(y_up_u8: np.ndarray, w: SRCNNWeights | None = None) -> np.ndarray:
+    """Full 3-layer SRCNN on an already-upscaled uint8 Y plane -> uint8."""
+    w = w if w is not None else load_weights()
+    return conv3_ref(conv2_ref(conv1_ref(y_up_u8, w), w), w)
+
+
+# ---------------------------------------------------------------------------
+# Full-image pipeline (delegating color+resize to OpenCV's binding)
+# ---------------------------------------------------------------------------
+
+def pipeline_ref(bgr_u8: np.ndarray, scale: float,
+                 w: SRCNNWeights | None = None) -> np.ndarray:
+    """Emulates one full run of the reference binary on a BGR uint8 image.
+
+    decode -> YCrCb -> split -> bicubic x scale (all 3 channels) ->
+    SRCNN on Y -> merge(Y', Cr, Cb) -> BGR  (srcnn.cpp:449-698).
+    """
+    import cv2
+
+    w = w if w is not None else load_weights()
+    ycrcb = cv2.cvtColor(bgr_u8, cv2.COLOR_BGR2YCrCb)
+    h, wdt = bgr_u8.shape[:2]
+    ow, oh = scaled_size(wdt, h, scale)
+    chans = [
+        cv2.resize(ycrcb[:, :, i], (ow, oh), interpolation=cv2.INTER_CUBIC)
+        for i in range(3)
+    ]
+    y_sr = srcnn_y_ref(chans[0], w)
+    merged = np.stack([y_sr, chans[1], chans[2]], axis=-1)
+    return cv2.cvtColor(merged, cv2.COLOR_YCrCb2BGR)
