@@ -20,3 +20,13 @@ Public surface:
 __version__ = "0.1.0"
 
 from .weights import SRCNNWeights, load_weights  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy re-exports so that `import srcnn_cpp_tpu` stays cheap (no JAX
+    # import) for weights-only consumers like the NumPy oracle tests.
+    if name in ("upscale_bgr", "process_srcnn"):
+        from . import pipeline
+
+        return getattr(pipeline, name)
+    raise AttributeError(name)

@@ -1,0 +1,22 @@
+"""TPU-native image ops: colorspace, resize, SRCNN conv stack, quantization.
+
+Each op re-implements (TPU-first, not a translation) a behavior of the
+reference binary (reference src/srcnn.cpp) and is validated bit-for-bit or to
+PSNR tolerance against it.  See individual modules for file:line citations.
+"""
+
+from .color import bgr2ycrcb_u8, ycrcb2bgr_u8
+from .resize import resize_bicubic_u8, resize_separable, FILTERS
+from .quantize import quantize_trunc_u8
+from .srcnn import srcnn_y, srcnn_y_f32
+
+__all__ = [
+    "bgr2ycrcb_u8",
+    "ycrcb2bgr_u8",
+    "resize_bicubic_u8",
+    "resize_separable",
+    "FILTERS",
+    "quantize_trunc_u8",
+    "srcnn_y",
+    "srcnn_y_f32",
+]

@@ -1,0 +1,195 @@
+"""Separable image resampling, TPU-native.
+
+Two engines, mirroring the two resize paths of the reference:
+
+1. :func:`resize_bicubic_u8` — bit-exact emulation of OpenCV 4.6's
+   ``cv::resize(..., INTER_CUBIC)`` on uint8, the resize of record of the
+   reference binary (reference src/srcnn.cpp:577-582).  OpenCV's uint8 path is
+   fixed-point: per-axis coefficient tables (Catmull-Rom a=-0.75, float32
+   math, quantized to int16 by scaling with 2**11 and rounding), an integer
+   horizontal pass, and a float32 vertical pass that multiplies by
+   ``int16_coef * (1/2048**2)`` accumulating right-to-left with separate
+   mul/add roundings.  All of that restates exactly here as jnp gathers and
+   elementwise ops (VPU work, ~8 MACs/px — negligible next to the conv
+   stack's 7,232 MACs/px).
+
+2. :func:`resize_separable` — a general float weights-table resampler, the
+   TPU-first counterpart of the reference's standalone FreeImage-derived
+   engine (reference src/frawscale.cpp:8-151 weight tables,
+   :157-385 two-pass filtering).  Same algorithm family — per-output-pixel
+   contribution windows, weight normalization to sum 1, clamp-to-edge
+   boundary, anti-aliased (filter-width-scaled) downscale — but re-derived
+   from the resampling math, not translated: windows become static gather
+   index tables and the two 1-D passes become tap-loops of fused
+   gather-multiply-adds under jit.
+
+Both engines are shape-static: tables are computed host-side in NumPy at
+trace time and embedded as constants, so everything under ``jit`` stays
+statically shaped for XLA.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+from .resize_tables import cv_cubic_tables
+
+__all__ = ["resize_bicubic_u8", "resize_separable", "FILTERS", "scaled_size"]
+
+
+def scaled_size(w: int, h: int, scale: float) -> tuple[int, int]:
+    """Output (w, h) = floor(float32(dim) * float32(scale)).
+
+    Matches the reference's cv::Size arithmetic (srcnn.cpp:573-575): the
+    product is computed in float32 and truncated toward zero.
+    """
+    return (
+        int(np.float32(w) * np.float32(scale)),
+        int(np.float32(h) * np.float32(scale)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine 1: OpenCV-4.6-bit-exact uint8 bicubic
+# ---------------------------------------------------------------------------
+
+@partial(jnp.vectorize, excluded=(1, 2), signature="(h,w)->(p,q)")
+def _resize_bicubic_u8_2d(img, oh: int, ow: int):
+    ih, iw = img.shape
+    xi, xic, _ = cv_cubic_tables(ow, iw)
+    yi, _, yfc = cv_cubic_tables(oh, ih)
+    s = img.astype(jnp.int32)
+    # horizontal pass: int32 rows, as in OpenCV's HResizeNoVec accumulation
+    rows = sum(s[:, xi[:, j]] * xic[:, j] for j in range(4))
+    # vertical pass: float32, right-to-left separate mul/add (SIMD VResizeCubic)
+    r = rows[yi[:, 3], :].astype(jnp.float32) * yfc[:, 3][:, None]
+    for k in (2, 1, 0):
+        r = rows[yi[:, k], :].astype(jnp.float32) * yfc[:, k][:, None] + r
+    return jnp.clip(jnp.round(r), 0, 255).astype(jnp.uint8)
+
+
+def resize_bicubic_u8(img, out_hw: tuple[int, int]):
+    """OpenCV-4.6-bit-exact INTER_CUBIC resize of uint8 planes.
+
+    ``img``: uint8 ``[..., H, W]`` (leading dims vectorized). ``out_hw``:
+    static ``(out_h, out_w)``.  Returns uint8 ``[..., out_h, out_w]``.
+    """
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    return _resize_bicubic_u8_2d(img, oh, ow)
+
+
+# ---------------------------------------------------------------------------
+# Engine 2: generic float weights-table resampler
+# ---------------------------------------------------------------------------
+
+def _box(x):
+    return (np.abs(x) <= 0.5).astype(np.float64)
+
+
+def _bilinear(x):
+    return np.maximum(0.0, 1.0 - np.abs(x))
+
+
+def _mitchell(x, b=1.0 / 3.0, c=1.0 / 3.0):
+    x = np.abs(x)
+    x2, x3 = x * x, x * x * x
+    y = np.where(
+        x < 1.0,
+        ((12 - 9 * b - 6 * c) * x3 + (-18 + 12 * b + 6 * c) * x2 + (6 - 2 * b)) / 6.0,
+        np.where(
+            x < 2.0,
+            ((-b - 6 * c) * x3 + (6 * b + 30 * c) * x2
+             + (-12 * b - 48 * c) * x + (8 * b + 24 * c)) / 6.0,
+            0.0,
+        ),
+    )
+    return y
+
+
+def _catmull_rom(x, a=-0.75):
+    x = np.abs(x)
+    return np.where(
+        x < 1.0,
+        ((a + 2) * x - (a + 3)) * x * x + 1,
+        np.where(x < 2.0, ((a * x - 5 * a) * x + 8 * a) * x - 4 * a, 0.0),
+    )
+
+
+def _lanczos(x, a=3):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.sinc(x) * np.sinc(x / a)
+    return np.where(np.abs(x) < a, y, 0.0)
+
+
+#: filter name -> (kernel function, support radius)
+FILTERS: dict[str, tuple] = {
+    "box": (_box, 0.5),
+    "bilinear": (_bilinear, 1.0),
+    "mitchell": (_mitchell, 2.0),      # frawscale's "bicubic" (frawscale.h:92)
+    "catmull_rom": (_catmull_rom, 2.0),  # OpenCV INTER_CUBIC's kernel, float
+    "lanczos3": (_lanczos, 3.0),
+}
+
+
+def _weights_table(dst: int, src: int, filter_name: str) -> tuple[np.ndarray, np.ndarray]:
+    """Static gather-index and weight tables for one axis.
+
+    Same contract as the reference's weight-table builder
+    (frawscale.cpp:8-112): coordinate mapping ``(i+0.5)/scale - 0.5``,
+    window ``2*ceil(fwidth)+1``, anti-aliased downscale (kernel stretched by
+    the scale factor), weights normalized to sum 1, indices clamped to the
+    image (replicate border).
+    """
+    fn, support = FILTERS[filter_name]
+    scale = dst / src
+    if scale < 1.0:
+        fwidth, fscale = support / scale, scale
+    else:
+        fwidth, fscale = support, 1.0
+    ntaps = 2 * math.ceil(fwidth) + 1
+    centers = (np.arange(dst, dtype=np.float64) + 0.5) / scale - 0.5
+    left = np.ceil(centers - fwidth).astype(np.int64)
+    taps = left[:, None] + np.arange(ntaps)[None, :]
+    w = fn((centers[:, None] - taps) * fscale)
+    norm = w.sum(axis=1, keepdims=True)
+    norm = np.where(norm == 0.0, 1.0, norm)
+    w = (w / norm).astype(np.float32)
+    idx = np.clip(taps, 0, src - 1).astype(np.int32)
+    return idx, w
+
+
+def _apply_axis(x, idx: np.ndarray, w: np.ndarray, axis: int):
+    """One 1-D filtering pass along ``axis`` as a tap-loop of gathers."""
+    wshape = [1] * x.ndim
+    wshape[axis] = w.shape[0]
+    acc = None
+    for t in range(idx.shape[1]):
+        g = jnp.take(x, jnp.asarray(idx[:, t]), axis=axis)
+        term = g * jnp.asarray(w[:, t]).reshape(wshape)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def resize_separable(x, out_hw: tuple[int, int], method: str = "mitchell"):
+    """General separable resize of float planes ``[..., H, W]``.
+
+    Pass order follows the reference engine (frawscale.cpp:195-278):
+    horizontal first when downscaling, vertical first when upscaling, which
+    minimizes the intermediate buffer.
+    """
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    ih, iw = x.shape[-2:]
+    x = x.astype(jnp.float32)
+    yi, yw = _weights_table(oh, ih, method)
+    xi, xw = _weights_table(ow, iw, method)
+    if ow <= iw:  # downscale: shrink width first
+        x = _apply_axis(x, xi, xw, x.ndim - 1)
+        x = _apply_axis(x, yi, yw, x.ndim - 2)
+    else:  # upscale: filter the small-width intermediate first (vertical pass)
+        x = _apply_axis(x, yi, yw, x.ndim - 2)
+        x = _apply_axis(x, xi, xw, x.ndim - 1)
+    return x

@@ -16,17 +16,19 @@ used to validate the TPU compute path.  It reproduces, per SURVEY.md §2:
 * Output dims floor(w*scale), floor(h*scale) with float32 multiply
   (srcnn.cpp:573-575, cv::Size int truncation).
 
-Colorspace conversion and the bicubic pre-upscale delegate to OpenCV's Python
-binding when available (the binding runs the *same* C++ code as the reference
-binary, so it is bit-exact by construction); pure-NumPy fallbacks implementing
-OpenCV's fixed-point arithmetic live in :mod:`srcnn_cpp_tpu.ops.color` and
-:mod:`srcnn_cpp_tpu.ops.resize` and are cross-checked against it in tests.
+Colorspace conversion and the bicubic pre-upscale use our own pure-NumPy
+restatements of OpenCV 4.6's fixed-point arithmetic (the version the
+reference binary links).  Note cv2's Python binding on this machine is OpenCV
+5.0, whose INTER_CUBIC differs from 4.6 by ±1 LSB on fractional scales — so
+the oracle deliberately does NOT delegate to cv2; bit-exactness against the
+4.6 C++ library is pinned by the golden fixtures in ``tests/golden/``.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from .ops.resize_tables import resize_bicubic_u8_np
 from .weights import SRCNNWeights, load_weights
 
 
@@ -123,7 +125,35 @@ def srcnn_y_ref(y_up_u8: np.ndarray, w: SRCNNWeights | None = None) -> np.ndarra
 
 
 # ---------------------------------------------------------------------------
-# Full-image pipeline (delegating color+resize to OpenCV's binding)
+# Colorspace (OpenCV uint8 fixed-point arithmetic, pure NumPy)
+# ---------------------------------------------------------------------------
+
+def _descale(x: np.ndarray) -> np.ndarray:
+    return (x + (1 << 13)) >> 14
+
+
+def bgr2ycrcb_u8_ref(bgr: np.ndarray) -> np.ndarray:
+    """OpenCV-bit-exact uint8 BGR -> YCrCb (cvtColor at srcnn.cpp:509)."""
+    x = bgr.astype(np.int32)
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    y = _descale(b * 1868 + g * 9617 + r * 4899)
+    cr = _descale((r - y) * 11682 + (128 << 14))
+    cb = _descale((b - y) * 9241 + (128 << 14))
+    return np.clip(np.stack([y, cr, cb], axis=-1), 0, 255).astype(np.uint8)
+
+
+def ycrcb2bgr_u8_ref(ycrcb: np.ndarray) -> np.ndarray:
+    """OpenCV-bit-exact uint8 YCrCb -> BGR (cvtColor at srcnn.cpp:657)."""
+    x = ycrcb.astype(np.int32)
+    y, cr, cb = x[..., 0], x[..., 1], x[..., 2]
+    b = y + _descale((cb - 128) * 29049)
+    g = y + _descale((cb - 128) * -5636 + (cr - 128) * -11698)
+    r = y + _descale((cr - 128) * 22987)
+    return np.clip(np.stack([b, g, r], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Full-image pipeline (pure NumPy, OpenCV-4.6-bit-exact pre/post stages)
 # ---------------------------------------------------------------------------
 
 def pipeline_ref(bgr_u8: np.ndarray, scale: float,
@@ -133,16 +163,11 @@ def pipeline_ref(bgr_u8: np.ndarray, scale: float,
     decode -> YCrCb -> split -> bicubic x scale (all 3 channels) ->
     SRCNN on Y -> merge(Y', Cr, Cb) -> BGR  (srcnn.cpp:449-698).
     """
-    import cv2
-
     w = w if w is not None else load_weights()
-    ycrcb = cv2.cvtColor(bgr_u8, cv2.COLOR_BGR2YCrCb)
+    ycrcb = bgr2ycrcb_u8_ref(bgr_u8)
     h, wdt = bgr_u8.shape[:2]
     ow, oh = scaled_size(wdt, h, scale)
-    chans = [
-        cv2.resize(ycrcb[:, :, i], (ow, oh), interpolation=cv2.INTER_CUBIC)
-        for i in range(3)
-    ]
+    chans = [resize_bicubic_u8_np(ycrcb[:, :, i], (oh, ow)) for i in range(3)]
     y_sr = srcnn_y_ref(chans[0], w)
     merged = np.stack([y_sr, chans[1], chans[2]], axis=-1)
-    return cv2.cvtColor(merged, cv2.COLOR_YCrCb2BGR)
+    return ycrcb2bgr_u8_ref(merged)

@@ -1,0 +1,92 @@
+"""End-to-end super-resolution pipeline (the reference's ``pthreadcall``).
+
+One jitted function runs the reference's full 9-step pipeline
+(reference src/srcnn.cpp:449-698) on device:
+
+    BGR u8 -> YCrCb (fixed-point, bit-exact) -> per-channel bicubic x scale
+    (OpenCV-4.6-bit-exact) -> SRCNN on Y -> merge(Y', Cr, Cb) -> BGR u8
+
+Everything between decode and encode happens in a single XLA program with
+static shapes; image decode/encode stay host-side (as in the reference,
+srcnn.cpp:462,670 via OpenCV imread/imwrite).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .ops.color import bgr2ycrcb_u8, ycrcb2bgr_u8
+from .ops.resize import resize_bicubic_u8, scaled_size
+from .ops.srcnn import srcnn_y
+from .weights import SRCNNWeights, load_weights
+
+
+@partial(jax.jit, static_argnames=("out_hw", "backend_kernel"))
+def _upscale_bgr_jit(bgr_u8, weights: SRCNNWeights, out_hw: tuple[int, int],
+                     backend_kernel: str = "xla"):
+    ycrcb = bgr2ycrcb_u8(bgr_u8)                       # [H, W, 3] u8
+    chans = jnp.moveaxis(ycrcb, -1, 0)                 # [3, H, W]
+    up = resize_bicubic_u8(chans, out_hw)              # [3, oh, ow] u8
+    if backend_kernel == "pallas":
+        from .ops.pallas_srcnn import srcnn_y_fused
+        y_sr = srcnn_y_fused(up[0], weights)
+    else:
+        y_sr = srcnn_y(up[0], weights)                 # [oh, ow] u8
+    merged = jnp.stack([y_sr, up[1], up[2]], axis=-1)  # [oh, ow, 3] u8
+    return ycrcb2bgr_u8(merged)
+
+
+def upscale_bgr(bgr_u8, scale: float, weights: SRCNNWeights | None = None,
+                kernel: str = "xla"):
+    """Super-resolve one BGR uint8 image by ``scale``.
+
+    Output dims are ``floor(float32(dim) * float32(scale))``, matching the
+    reference (srcnn.cpp:573-575).  ``kernel`` selects the conv backend:
+    ``"xla"`` (lax.conv) or ``"pallas"`` (fused single-pass kernel).
+    """
+    weights = weights if weights is not None else load_weights()
+    h, w = bgr_u8.shape[:2]
+    ow, oh = scaled_size(w, h, scale)
+    return _upscale_bgr_jit(jnp.asarray(bgr_u8), weights, (oh, ow), kernel)
+
+
+@partial(jax.jit, static_argnames=("out_hw", "backend_kernel"))
+def _upscale_plane_jit(y_u8, weights: SRCNNWeights, out_hw: tuple[int, int],
+                       backend_kernel: str = "xla"):
+    up = resize_bicubic_u8(y_u8, out_hw)
+    if backend_kernel == "pallas":
+        from .ops.pallas_srcnn import srcnn_y_fused
+
+        return srcnn_y_fused(up, weights)
+    return srcnn_y(up, weights)
+
+
+def process_srcnn(buf, w: int, h: int, d: int, scale: float,
+                  weights: SRCNNWeights | None = None, kernel: str = "xla"):
+    """Raw-buffer library API (the libsrcnn ``ProcessSRCNN`` shape).
+
+    Mirrors the call contract documented by the reference's sibling test
+    harness (reference src/test.cpp:345-361): interleaved uint8 pixels in,
+    ``(out_buffer, out_size)`` out, with ``out_size == floor(w*scale) *
+    floor(h*scale) * d``.  ``d`` may be 1 (single plane, super-resolved
+    directly) or 3 (RGB interleaved, converted through YCrCb like the main
+    binary).
+    """
+    import numpy as np
+
+    weights = weights if weights is not None else load_weights()
+    img = np.asarray(buf, dtype=np.uint8).reshape(h, w, d) if d > 1 else \
+        np.asarray(buf, dtype=np.uint8).reshape(h, w)
+    ow, oh = scaled_size(w, h, scale)
+    if d == 1:
+        out = np.asarray(_upscale_plane_jit(jnp.asarray(img), weights, (oh, ow)))
+    elif d == 3:
+        bgr = img[..., ::-1]
+        out = np.asarray(upscale_bgr(bgr, scale, weights, kernel))[..., ::-1]
+    else:
+        raise ValueError(f"unsupported depth {d}; expected 1 or 3")
+    flat = np.ascontiguousarray(out).reshape(-1)
+    return flat, flat.size

@@ -1,0 +1,83 @@
+"""End-to-end pipeline against the reference binary's own outputs.
+
+``tests/golden/butterfly_x{1.5,2,3}_ref.png`` are the literal outputs of the
+reference binary (built from /root/reference with OpenCV 4.6) on
+butterfly.png.  The accuracy gate from BASELINE.md is PSNR within 0.05 dB of
+the reference at x1.5/x2/x3; the pipeline here lands around 60+ dB *against
+the reference output itself*, i.e. the two are visually and metrically
+indistinguishable (residual: fp32 reassociation inside the conv stack vs the
+-ffast-math binary).
+"""
+
+import numpy as np
+import pytest
+
+from srcnn_cpp_tpu.utils.metrics import psnr
+from tests.conftest import golden_ref
+
+
+@pytest.mark.parametrize(
+    "scale,tag",
+    [(1.5, "1.5"),
+     pytest.param(2.0, "2", marks=pytest.mark.slow),
+     pytest.param(3.0, "3", marks=pytest.mark.slow)],
+)
+def test_golden_butterfly(butterfly_bgr, scale, tag):
+    from srcnn_cpp_tpu.pipeline import upscale_bgr
+
+    ref = golden_ref(tag)
+    out = np.asarray(upscale_bgr(butterfly_bgr, scale))
+    assert out.shape == ref.shape
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, f"max LSB diff {diff.max()}"
+    p = psnr(out, ref)
+    assert p > 55.0, f"PSNR vs reference output {p:.2f} dB"
+
+
+def test_oracle_pipeline_bit_faithful(butterfly_bgr):
+    # The NumPy oracle is the strictest parity artifact: <= 1 LSB on a
+    # handful of pixels per megapixel vs the actual binary.
+    from srcnn_cpp_tpu.oracle import pipeline_ref
+
+    ref = golden_ref("1.5")
+    out = pipeline_ref(butterfly_bgr, 1.5)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-4
+
+
+def test_output_size_matches_reference_rule():
+    from srcnn_cpp_tpu.pipeline import upscale_bgr
+
+    img = np.random.default_rng(0).integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    out = np.asarray(upscale_bgr(img, 1.5))
+    assert out.shape == (55, 79, 3)  # floor(37*1.5), floor(53*1.5)
+
+
+def test_process_srcnn_buffer_api():
+    from srcnn_cpp_tpu.pipeline import process_srcnn
+
+    rng = np.random.default_rng(1)
+    h, w, d = 24, 16, 3
+    buf = rng.integers(0, 256, h * w * d, dtype=np.uint8)
+    out, n = process_srcnn(buf, w, h, d, 2.0)
+    assert n == (2 * w) * (2 * h) * d  # contract from reference test.cpp:357-361
+    assert out.dtype == np.uint8 and out.size == n
+
+    buf1 = rng.integers(0, 256, h * w, dtype=np.uint8)
+    out1, n1 = process_srcnn(buf1, w, h, 1, 1.5)
+    assert n1 == int(w * 1.5) * int(h * 1.5)
+
+
+def test_matches_oracle_on_arbitrary_size():
+    # Cross-validates the full jitted pipeline against the pure-NumPy oracle
+    # (which uses plain-bicubic Cr/Cb by construction, srcnn.cpp:609,627,638)
+    # on a non-square, non-multiple-of-anything image.
+    from srcnn_cpp_tpu.oracle import pipeline_ref
+    from srcnn_cpp_tpu.pipeline import upscale_bgr
+
+    img = np.random.default_rng(9).integers(0, 256, (41, 67, 3), dtype=np.uint8)
+    out = np.asarray(upscale_bgr(img, 2.0))
+    ref = pipeline_ref(img, 2.0)
+    assert out.shape == ref.shape
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1

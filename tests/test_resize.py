@@ -1,0 +1,127 @@
+"""Resize engines: OpenCV-4.6-bit-exactness and separable-filter properties.
+
+Golden fixtures in ``tests/golden/cv46_cubic_resize.npz`` were minted by
+running ``cv::resize(..., INTER_CUBIC)`` from the OpenCV 4.6 C++ library the
+reference binary links (cv2's Python binding here is OpenCV 5.0, which
+differs by ±1 LSB at fractional scales, so it cannot serve as the oracle).
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import GOLDEN
+
+
+@pytest.fixture(scope="module")
+def cv46_cases():
+    with np.load(GOLDEN / "cv46_cubic_resize.npz") as z:
+        n = len(z.files) // 2
+        return [(z[f"in_{i}"], z[f"out_{i}"]) for i in range(n)]
+
+
+def test_numpy_engine_bit_exact_vs_cv46(cv46_cases):
+    from srcnn_cpp_tpu.ops.resize_tables import resize_bicubic_u8_np
+
+    for src, ref in cv46_cases:
+        out = resize_bicubic_u8_np(src, ref.shape)
+        assert np.array_equal(out, ref), (src.shape, ref.shape)
+
+
+def test_jax_engine_bit_exact_vs_cv46(cv46_cases):
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+
+    for src, ref in cv46_cases:
+        out = np.asarray(resize_bicubic_u8(src, ref.shape))
+        assert np.array_equal(out, ref), (src.shape, ref.shape)
+
+
+def test_jax_engine_batched_channels(cv46_cases):
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+
+    src, ref = cv46_cases[0]
+    stack = np.stack([src, src[::-1], 255 - src])
+    out = np.asarray(resize_bicubic_u8(stack, ref.shape))
+    assert out.shape == (3,) + ref.shape
+    assert np.array_equal(out[0], ref)
+
+
+def test_golden_y_upscale(butterfly_y, butterfly_yup):
+    # The exact upscale the reference performs on the Y channel at x1.5
+    # (srcnn.cpp:577-582).
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+
+    out = np.asarray(resize_bicubic_u8(butterfly_y, (576, 576)))
+    assert np.array_equal(out, butterfly_yup)
+
+
+def test_scaled_size_truncation():
+    from srcnn_cpp_tpu.ops.resize import scaled_size
+
+    # floor(float32(w) * float32(scale)) — reference cv::Size arithmetic.
+    assert scaled_size(384, 384, 1.5) == (576, 576)
+    assert scaled_size(960, 540, 2.0) == (1920, 1080)
+    assert scaled_size(100, 100, 0.33) == (33, 33)
+
+
+# ---------------------------------------------------------------------------
+# Generic separable engine (frawscale counterpart)
+# ---------------------------------------------------------------------------
+
+def test_separable_preserves_constants():
+    from srcnn_cpp_tpu.ops.resize import FILTERS, resize_separable
+
+    x = np.full((40, 56), 119.25, dtype=np.float32)
+    for name in FILTERS:
+        up = np.asarray(resize_separable(x, (61, 87), name))
+        dn = np.asarray(resize_separable(x, (13, 19), name))
+        assert np.allclose(up, 119.25, atol=1e-3), name
+        assert np.allclose(dn, 119.25, atol=1e-3), name
+
+
+def test_separable_identity():
+    from srcnn_cpp_tpu.ops.resize import resize_separable
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, (33, 47)).astype(np.float32)
+    # only interpolating kernels (f(0)=1, f(k)=0 for integer k!=0) are
+    # identity at same-size; Mitchell b=c=1/3 deliberately is not.
+    for name in ("bilinear", "catmull_rom", "lanczos3"):
+        out = np.asarray(resize_separable(x, (33, 47), name))
+        assert np.allclose(out, x, atol=1e-3), name
+
+
+def test_separable_bilinear_reproduces_linear_ramp():
+    # A separable linear-interpolation resize of a linear ramp must remain
+    # a linear function of the (continuous) pixel-center coordinates.
+    from srcnn_cpp_tpu.ops.resize import resize_separable
+
+    ih, iw, oh, ow = 16, 16, 32, 32
+    x = np.add.outer(np.arange(ih), np.arange(iw)).astype(np.float32)
+    out = np.asarray(resize_separable(x, (oh, ow), "bilinear"))
+    cy = np.clip((np.arange(oh) + 0.5) / 2 - 0.5, 0, ih - 1)
+    cx = np.clip((np.arange(ow) + 0.5) / 2 - 0.5, 0, iw - 1)
+    expect = np.add.outer(cy, cx).astype(np.float32)
+    assert np.allclose(out, expect, atol=1e-3)
+
+
+def test_separable_downscale_antialiases():
+    # An 8x downscale of a Nyquist checkerboard must average out to ~mid-gray
+    # with an anti-aliased (width-scaled) kernel.
+    from srcnn_cpp_tpu.ops.resize import resize_separable
+
+    x = (np.indices((128, 128)).sum(0) % 2).astype(np.float32) * 255
+    out = np.asarray(resize_separable(x, (16, 16), "mitchell"))
+    # interior only: clamp-to-edge borders repeat one phase of the pattern,
+    # legitimately biasing the outermost output ring
+    assert np.abs(out[2:-2, 2:-2] - 127.5).max() < 2.0
+
+
+def test_separable_matches_batched():
+    from srcnn_cpp_tpu.ops.resize import resize_separable
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 255, (3, 24, 24)).astype(np.float32)
+    out = np.asarray(resize_separable(x, (36, 52), "mitchell"))
+    one = np.asarray(resize_separable(x[1], (36, 52), "mitchell"))
+    assert out.shape == (3, 36, 52)
+    assert np.allclose(out[1], one, atol=1e-5)
