@@ -1,0 +1,74 @@
+"""Throughput benchmark: megapixels/sec of x2 super-resolution on one chip.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+Config matches the measured reference baseline (BASELINE_MEASURED.md):
+test.jpg-sized frames (960x540 BGR) upscaled x2 to 1920x1080 through the
+full pipeline (color convert + bicubic x3 channels + SRCNN on Y + merge).
+The reference binary does 0.0178 MP/s on this host; ``vs_baseline`` is the
+speedup over that.
+
+Methodology notes (axon relay environment):
+* ``block_until_ready`` is not a reliable fence -> completion is forced by
+  fetching the final output to host;
+* per-dispatch round-trip is ~9 ms -> frames are batched per dispatch and
+  several dispatches are chained with a data dependency so the span
+  measures sustained device throughput, not launch latency.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MPS = 0.0178  # reference binary, test.jpg x2, this host
+BATCH = 2
+ITERS = 8
+
+
+def main() -> None:
+    from srcnn_cpp_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from srcnn_cpp_tpu.imageio import imread_bgr
+    from srcnn_cpp_tpu.pipeline import upscale_bgr_batch
+    from srcnn_cpp_tpu.weights import load_weights
+
+    weights = jax.device_put(load_weights())
+    frame = imread_bgr("/root/reference/Pictures/test.jpg")
+    if frame is None:  # fall back to synthetic frames of the same geometry
+        frame = np.random.default_rng(0).integers(
+            0, 256, (540, 960, 3), dtype=np.uint8)
+    batch = np.broadcast_to(frame, (BATCH,) + frame.shape)
+    batch = jax.device_put(jnp.asarray(batch))
+
+    out = upscale_bgr_batch(batch, 2.0, weights)
+    _ = np.asarray(out)  # compile + settle
+
+    t0 = time.monotonic()
+    dep = jnp.zeros((), jnp.uint8)
+    for _ in range(ITERS):
+        # data dependency chains the dispatches without reshaping I/O
+        out = upscale_bgr_batch(batch.at[0, 0, 0, 0].add(dep), 2.0, weights)
+        dep = out[0, 0, 0, 0] * 0
+    _ = np.asarray(out)
+    dt = time.monotonic() - t0
+
+    oh, ow = out.shape[1:3]
+    mps = BATCH * ITERS * (oh * ow) / 1e6 / dt
+    print(json.dumps({
+        "metric": "x2_sr_throughput_1chip",
+        "value": round(mps, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / BASELINE_MPS, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Fused single-pass SRCNN kernel (Pallas/Mosaic, the performance path).
+
+Replaces the reference's two hot loops — the fused ``Convolution99x11``
+(reference src/srcnn.cpp:254-325) and ``Convolution55`` (:189-243) — with ONE
+kernel that keeps every intermediate in VMEM.  The XLA path materializes the
+64- and 32-channel feature planes in HBM (with 2-4x lane-padding blowup for
+the small channel counts); this kernel streams row-band x column-band tiles
+and never writes features to HBM at all.
+
+Layout strategy (the part that makes the MXU work on a 1-input-channel conv,
+within Mosaic's constraint that only the last two dims are vector axes):
+
+* ``CC`` x-im2col: 9 column-shifted copies of the input slab stacked along
+  sublanes, built with 9 whole-block copies;
+* per feature row, the 81-tap patch matrix ``rp(96, TWp)`` is assembled
+  from 9 contiguous 9-row windows of ``CC`` (one sublane-range concat, no
+  middle-dim indexing), with conv1 weights pre-reordered to the matching
+  dx-major tap order.  conv1 is then ``W1(64,96) @ rp`` — dense MXU work;
+* conv2 is ``(32,64) @ f1`` on the same pixel lanes;
+* conv3 splits into MXU + VPU: ``q = W3t(25,32) @ f2`` forms per-tap
+  partials (N=25 instead of N=1), and the 5x5 stencil accumulates shifted
+  rows of ``q`` into the output tile;
+* float32 accuracy on a bf16 MXU via split-precision: f32 operands decompose
+  hi+lo (hi = bf16(x), lo = bf16(x - hi)): 2 matmuls for conv1 (uint8 input
+  is exact in bf16), 3 for conv2/conv3 — ~2^-16 relative error, far below
+  the 0.5-LSB quantization budget (validated in tests/test_pallas.py).
+
+Replicate padding: input-level clamp rows/cols are pre-padded by the
+wrapper.  conv3's *feature-level* clamp at true image edges
+(srcnn.cpp:200-210) differs from virtual-input extension in exactly the
+outermost 2 rows/cols — the wrapper always recomputes that 2-px frame with
+the XLA path (~2% extra work at 4K) instead of branching inside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.quantize import quantize_trunc_u8
+
+#: conv1 taps (81) padded to a bf16 sublane multiple
+_KTAPS = 96
+
+
+def _split_hi_lo(x):
+    """f32 -> (hi, lo) bf16 pair with hi+lo ~= x to ~2^-16 relative.
+
+    The split is computed by integer masking (top 16 bits = exactly the
+    bf16-representable truncation), NOT by ``bf16(x)`` roundtrips: XLA runs
+    with --xla_allow_excess_precision, which folds ``x - f32(bf16(x))`` to
+    zero and silently destroys the compensation term.
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    hi32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = x - hi32
+    return hi32.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def _prep_weights(weights):
+    """Packing of SRCNNWeights into kernel layouts (hi/lo bf16 pairs).
+
+    Pure jnp so it traces under jit (weights may be tracers there).  conv1
+    taps are reordered dx-major to match the kernel's patch assembly.
+    """
+    w1 = jnp.asarray(weights.conv1_w, jnp.float32).reshape(64, 9, 9)
+    w1 = jnp.transpose(w1, (0, 2, 1)).reshape(64, 81)     # [oc, dx*9+dy]
+    w1p = jnp.zeros((64, _KTAPS), jnp.float32).at[:, :81].set(w1)
+    w2 = jnp.asarray(weights.conv2_w, jnp.float32).reshape(32, 64)
+    w3 = jnp.asarray(weights.conv3_w, jnp.float32).reshape(32, 25).T
+    w3p = jnp.zeros((32, 32), jnp.float32).at[:25].set(w3)  # [tap, ic]
+    b1 = jnp.asarray(weights.conv1_b, jnp.float32).reshape(64, 1)
+    b2 = jnp.asarray(weights.conv2_b, jnp.float32).reshape(32, 1)
+    b3 = jnp.asarray(weights.conv3_b, jnp.float32)[0]
+    return (*_split_hi_lo(w1p), *_split_hi_lo(w2), *_split_hi_lo(w3p),
+            b1, b2, b3)
+
+
+def _kernel(y_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, w3h_ref, w3l_ref,
+            b1_ref, b2_ref, out_ref, slab, cc, acc, dma_sem,
+            *, th: int, tw: int):
+    """One (th x tw) output tile; DMAs an overlapping aligned slab.
+
+    The slab is (th+16, tw+128): the logical (th+12, tw+12) window rounded
+    up to DMA alignment (sublane multiple of 8, lane multiple of 128); the
+    extra rows/cols are DMA'd but unused.
+    """
+    th4, tw4 = th + 4, tw + 4
+    s_rows = th + 16
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    # overlapping input windows can't be expressed as BlockSpec blocks; the
+    # padded plane stays in HBM and each program DMAs its slab explicitly
+    copy = pltpu.make_async_copy(
+        y_ref.at[pl.ds(i * th, s_rows), pl.ds(j * tw, tw + 128)],
+        slab, dma_sem)
+    copy.start()
+    copy.wait()
+    # u8 -> i32 -> f32 -> bf16 (no direct u8->bf16 cast; 0-255 is exact)
+    sb = slab[...].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    # x-im2col: 9 column-shifted copies stacked along sublanes
+    for dx in range(9):
+        cc[dx * s_rows:(dx + 1) * s_rows, :] = sb[:, dx:dx + tw4]
+
+    w1h, w1l = w1h_ref[...], w1l_ref[...]
+    w2h, w2l = w2h_ref[...], w2l_ref[...]
+    w3h, w3l = w3h_ref[...], w3l_ref[...]
+    b1, b2 = b1_ref[...], b2_ref[...]
+    zero_pad = jnp.zeros((_KTAPS - 81, tw4), jnp.bfloat16)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def split(x):
+        # excess-precision-proof hi/lo split (see _split_hi_lo)
+        bits = pltpu.bitcast(x, jnp.uint32)
+        hi32 = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
+
+    acc[...] = jnp.zeros((th, tw), jnp.float32)
+
+    for rf in range(th4):  # feature rows cover output rows rf-2 .. rf+2
+        rp = jnp.concatenate(
+            [cc[dx * s_rows + rf: dx * s_rows + rf + 9, :] for dx in range(9)]
+            + [zero_pad], axis=0)                          # (96, tw4) bf16
+        f1 = dot(w1h, rp) + dot(w1l, rp) + b1              # (64, tw4) f32
+        f1 = jnp.maximum(f1, 0.0)
+        f1h, f1l = split(f1)
+        f2 = dot(w2h, f1h) + dot(w2l, f1h) + dot(w2h, f1l) + b2
+        f2 = jnp.maximum(f2, 0.0)                          # (32, tw4) f32
+        f2h, f2l = split(f2)
+        q = dot(w3h, f2h) + dot(w3l, f2h) + dot(w3h, f2l)  # (32, tw4) f32
+
+        # 5x5 stencil: scatter this feature row's 25 tap-partials into the
+        # output rows it contributes to (all indices static: full unroll)
+        for dy in range(5):
+            ro = rf - dy
+            if 0 <= ro < th:
+                row = q[dy * 5 + 0: dy * 5 + 1, 0:tw]
+                for dx2 in range(1, 5):
+                    row = row + q[dy * 5 + dx2: dy * 5 + dx2 + 1, dx2:dx2 + tw]
+                acc[ro:ro + 1, :] += row
+
+    out_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw"))
+def _fused_call(y_pad, packed, th: int, tw: int):
+    (w1h, w1l, w2h, w2l, w3h, w3l, b1, b2, b3) = packed
+    hp, wp = y_pad.shape
+    gh, gw = (hp - 16) // th, (wp - 128) // tw
+    th4, tw4 = th + 4, tw + 4
+    interpret = jax.default_backend() == "cpu"  # hermetic CPU tests
+    out = pl.pallas_call(
+        functools.partial(_kernel, th=th, tw=tw),
+        grid=(gh, gw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # padded plane, HBM
+            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        ],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gh * th, gw * tw), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((th + 16, tw + 128), y_pad.dtype),      # slab (aligned)
+            pltpu.VMEM((9 * (th + 16), tw4), jnp.bfloat16),    # cc
+            pltpu.VMEM((th, tw), jnp.float32),                 # acc
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(y_pad, w1h, w1l, w2h, w2l, w3h, w3l, b1, b2)
+    return quantize_trunc_u8(out + b3)
+
+
+def _pick_tiles(h: int, w: int) -> tuple[int, int]:
+    """Tile sizes: th rows x tw cols per program, VMEM-bounded."""
+    th = 8
+    tw = 512
+    if w <= 512:
+        tw = max(128, ((w + 127) // 128) * 128)
+    return th, tw
+
+
+def srcnn_y_fused(y_u8, weights):
+    """uint8 Y plane(s) ``[H, W]`` / ``[B, H, W]`` -> uint8, fused kernel.
+
+    Matches the XLA/oracle path to <=1 quantization LSB (the split-precision
+    matmuls carry ~2^-16 relative error).  Border semantics are identical to
+    the reference: input-level clamp for conv1 via pre-padding; conv3's
+    feature-level clamp via the 2-px frame recompute in :func:`_fix_edges`.
+    """
+    if y_u8.ndim == 3:
+        return jax.vmap(lambda y: srcnn_y_fused(y, weights))(y_u8)
+    h, w = y_u8.shape
+    th, tw = _pick_tiles(h, w)
+    hp = ((h + th - 1) // th) * th
+    wp = ((w + tw - 1) // tw) * tw
+    # 6-px replicate halo + DMA-alignment slack (4 rows, 116 cols)
+    y = jnp.pad(y_u8, ((6, 10 + hp - h), (6, 122 + wp - w)), mode="edge")
+    packed = _prep_weights(weights)
+    out = _fused_call(y, packed, th, tw)
+    return _fix_edges(out[:h, :w], y_u8, weights)
+
+
+def _fix_edges(out, y_u8, weights):
+    """Recompute the 2-px frame where conv3's feature-level clamp applies.
+
+    The kernel extends the input virtually; the reference clamps f2 feature
+    rows/cols instead (srcnn.cpp:200-210).  Those differ only within 2 px of
+    the true image border, so the frame strips are recomputed with the exact
+    XLA path (strips include a 6-px interior margin, making them exact).
+    """
+    from .srcnn import srcnn_y
+
+    h, w = y_u8.shape
+    rs = min(h, 16)   # strip depth with enough interior context
+    cs = min(w, 16)
+    top = srcnn_y(y_u8[:rs, :], weights)
+    bot = srcnn_y(y_u8[h - rs:, :], weights)
+    left = srcnn_y(y_u8[:, :cs], weights)
+    right = srcnn_y(y_u8[:, w - cs:], weights)
+    n = min(2, h)
+    m = min(2, w)
+    out = out.at[:n, :].set(top[:n, :])
+    out = out.at[h - n:, :].set(bot[rs - n:, :])
+    out = out.at[:, :m].set(left[:, :m])
+    out = out.at[:, w - m:].set(right[:, cs - m:])
+    return out

@@ -35,9 +35,51 @@ def _conv(x, w, precision):
     )
 
 
-def _edge_pad_hw(x, pad: int):
-    """Replicate-pad the H and W dims of an NHWC tensor."""
-    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+def _edge_pad_hw(x, pad: int, pad_h: bool = True):
+    """Replicate-pad the W (and optionally H) dims of an NHWC tensor."""
+    hp = (pad, pad) if pad_h else (0, 0)
+    return jnp.pad(x, ((0, 0), hp, (pad, pad), (0, 0)), mode="edge")
+
+
+def _to_nhwc(y):
+    squeeze = []
+    if y.ndim == 2:
+        y = y[None]
+        squeeze.append(0)
+    if y.ndim == 3:
+        y = y[..., None]
+    return y, squeeze
+
+
+def conv12_f32(y_nhwc, weights, precision=lax.Precision.HIGHEST,
+               pad_h: bool = True):
+    """conv1 (9x9, 1->64, ReLU) + conv2 (1x1, 64->32, ReLU) on NHWC input.
+
+    With ``pad_h=False`` the 9x9 runs VALID in H: the output loses 4 rows
+    per side relative to the input (used by the tiled path, which feeds
+    halo-extended tiles).
+    """
+    x = y_nhwc.astype(jnp.float32)
+    w1 = jnp.transpose(weights.conv1_w.astype(jnp.float32), (2, 3, 1, 0))
+    w2 = jnp.transpose(weights.conv2_w.astype(jnp.float32), (2, 3, 1, 0))
+    x = _conv(_edge_pad_hw(x, 4, pad_h), w1, precision) + weights.conv1_b.astype(jnp.float32)
+    x = jax.nn.relu(x)
+    x = _conv(x, w2, precision) + weights.conv2_b.astype(jnp.float32)
+    return jax.nn.relu(x)
+
+
+def conv3_f32(f2_nhwc, weights, precision=lax.Precision.HIGHEST,
+              pad_h: bool = True):
+    """conv3 (5x5, 32->1, no ReLU) on NHWC features -> NHWC [..., 1].
+
+    The reference replicate-pads conv3 *at the feature level* — the pad rows
+    are clamped copies of f2's edge rows (srcnn.cpp:200-210), not values
+    computed from virtually-extended input.  ``pad_h=True`` reproduces that;
+    ``pad_h=False`` expects the caller to supply the 2 extra feature rows.
+    """
+    w3 = jnp.transpose(weights.conv3_w.astype(jnp.float32), (2, 3, 1, 0))
+    x = _conv(_edge_pad_hw(f2_nhwc, 2, pad_h), w3, precision)
+    return x + weights.conv3_b.astype(jnp.float32)
 
 
 def srcnn_y_f32(y, weights, precision=lax.Precision.HIGHEST):
@@ -46,24 +88,8 @@ def srcnn_y_f32(y, weights, precision=lax.Precision.HIGHEST):
     ``y``: ``[H, W]``, ``[B, H, W]`` or NHWC ``[B, H, W, 1]`` in the 0-255
     domain.  ``weights``: an ``SRCNNWeights`` (OIHW filter layout).
     """
-    squeeze = []
-    if y.ndim == 2:
-        y = y[None]
-        squeeze.append(0)
-    if y.ndim == 3:
-        y = y[..., None]
-    x = y.astype(jnp.float32)
-
-    w1 = jnp.transpose(weights.conv1_w.astype(jnp.float32), (2, 3, 1, 0))
-    w2 = jnp.transpose(weights.conv2_w.astype(jnp.float32), (2, 3, 1, 0))
-    w3 = jnp.transpose(weights.conv3_w.astype(jnp.float32), (2, 3, 1, 0))
-
-    x = _conv(_edge_pad_hw(x, 4), w1, precision) + weights.conv1_b.astype(jnp.float32)
-    x = jax.nn.relu(x)
-    x = _conv(x, w2, precision) + weights.conv2_b.astype(jnp.float32)
-    x = jax.nn.relu(x)
-    x = _conv(_edge_pad_hw(x, 2), w3, precision) + weights.conv3_b.astype(jnp.float32)
-
+    y, squeeze = _to_nhwc(y)
+    x = conv3_f32(conv12_f32(y, weights, precision), weights, precision)
     x = x[..., 0]
     for ax in squeeze:
         x = jnp.squeeze(x, ax)

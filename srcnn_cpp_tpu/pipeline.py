@@ -54,6 +54,37 @@ def upscale_bgr(bgr_u8, scale: float, weights: SRCNNWeights | None = None,
 
 
 @partial(jax.jit, static_argnames=("out_hw", "backend_kernel"))
+def _upscale_bgr_batch_jit(bgr_u8, weights: SRCNNWeights,
+                           out_hw: tuple[int, int],
+                           backend_kernel: str = "xla"):
+    ycrcb = bgr2ycrcb_u8(bgr_u8)                       # [B, H, W, 3]
+    chans = jnp.moveaxis(ycrcb, -1, 1)                 # [B, 3, H, W]
+    up = resize_bicubic_u8(chans, out_hw)              # [B, 3, oh, ow]
+    if backend_kernel == "pallas":
+        from .ops.pallas_srcnn import srcnn_y_fused
+
+        y_sr = srcnn_y_fused(up[:, 0], weights)
+    else:
+        y_sr = srcnn_y(up[:, 0], weights)              # [B, oh, ow]
+    merged = jnp.stack([y_sr, up[:, 1], up[:, 2]], axis=-1)
+    return ycrcb2bgr_u8(merged)
+
+
+def upscale_bgr_batch(bgr_u8, scale: float, weights: SRCNNWeights | None = None,
+                      kernel: str = "xla"):
+    """Super-resolve a batch ``[B, H, W, 3]`` of BGR uint8 frames.
+
+    The batch dimension amortizes dispatch overhead and shards over the
+    ``data`` mesh axis under pjit (the TPU counterpart of running the
+    reference binary on many images).
+    """
+    weights = weights if weights is not None else load_weights()
+    h, w = bgr_u8.shape[1:3]
+    ow, oh = scaled_size(w, h, scale)
+    return _upscale_bgr_batch_jit(jnp.asarray(bgr_u8), weights, (oh, ow), kernel)
+
+
+@partial(jax.jit, static_argnames=("out_hw", "backend_kernel"))
 def _upscale_plane_jit(y_u8, weights: SRCNNWeights, out_hw: tuple[int, int],
                        backend_kernel: str = "xla"):
     up = resize_bicubic_u8(y_u8, out_hw)

@@ -1,0 +1,82 @@
+"""Spatial tiling gate: tiled-with-halo-exchange == monolithic, bit-exact.
+
+Runs on the 8-virtual-CPU-device mesh (conftest).  This is the pure-logic
+multi-chip test SURVEY.md §4d calls for: seam correctness needs no real
+cluster, only correct halo plumbing.
+"""
+
+import numpy as np
+import pytest
+
+
+def _rand_y(shape, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    from srcnn_cpp_tpu.parallel import make_mesh
+
+    return make_mesh(data=2, row=4)
+
+
+@pytest.fixture(scope="module")
+def mesh18():
+    from srcnn_cpp_tpu.parallel import make_mesh
+
+    return make_mesh(data=1, row=8)
+
+
+def test_tiled_bit_exact_vs_monolithic(weights, mesh24):
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+    from srcnn_cpp_tpu.parallel import srcnn_y_tiled
+
+    y = _rand_y((2, 64, 96))
+    mono = np.asarray(srcnn_y(y, weights))
+    tiled = np.asarray(srcnn_y_tiled(y, weights, mesh24))
+    assert np.array_equal(mono, tiled)
+
+
+def test_tiled_8way_rows(weights, mesh18):
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+    from srcnn_cpp_tpu.parallel import srcnn_y_tiled
+
+    # 8 row-tiles of height 16 — halo (6) is a large fraction of the tile,
+    # which stresses the exchange plumbing hardest.
+    y = _rand_y((1, 128, 64), seed=3)
+    mono = np.asarray(srcnn_y(y, weights))
+    tiled = np.asarray(srcnn_y_tiled(y, weights, mesh18))
+    assert np.array_equal(mono, tiled)
+
+
+def test_tiled_rejects_indivisible(weights, mesh24):
+    from srcnn_cpp_tpu.parallel import srcnn_y_tiled
+
+    with pytest.raises(ValueError):
+        srcnn_y_tiled(_rand_y((2, 65, 64)), weights, mesh24)
+
+
+def test_upscale_y_tiled_pads_and_crops(weights, mesh24):
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+    from srcnn_cpp_tpu.parallel import upscale_y_tiled
+
+    # H=61 not divisible by 4 row-tiles; single plane (2-D input).
+    y = _rand_y((61, 40), seed=5)
+    mono = np.asarray(srcnn_y(y, weights))
+    tiled = upscale_y_tiled(y, weights, mesh24)
+    assert tiled.shape == mono.shape
+    assert np.array_equal(mono, tiled)
+
+
+def test_mesh_construction():
+    import jax
+
+    from srcnn_cpp_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    m = make_mesh()
+    assert m.shape == {"data": 1, "row": 8}
+    m2 = make_mesh(data=4)
+    assert m2.shape == {"data": 4, "row": 2}
+    with pytest.raises(ValueError):
+        make_mesh(data=3, row=3)
