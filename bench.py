@@ -26,6 +26,7 @@ import numpy as np
 BASELINE_MPS = 0.0178  # reference binary, test.jpg x2, this host
 BATCH = 2
 ITERS = 8
+KERNEL = "pallas"  # fused single-pass kernel (ops/pallas_srcnn.py)
 
 
 def main() -> None:
@@ -48,14 +49,15 @@ def main() -> None:
     batch = np.broadcast_to(frame, (BATCH,) + frame.shape)
     batch = jax.device_put(jnp.asarray(batch))
 
-    out = upscale_bgr_batch(batch, 2.0, weights)
+    out = upscale_bgr_batch(batch, 2.0, weights, kernel=KERNEL)
     _ = np.asarray(out)  # compile + settle
 
     t0 = time.monotonic()
     dep = jnp.zeros((), jnp.uint8)
     for _ in range(ITERS):
         # data dependency chains the dispatches without reshaping I/O
-        out = upscale_bgr_batch(batch.at[0, 0, 0, 0].add(dep), 2.0, weights)
+        out = upscale_bgr_batch(batch.at[0, 0, 0, 0].add(dep), 2.0, weights,
+                                kernel=KERNEL)
         dep = out[0, 0, 0, 0] * 0
     _ = np.asarray(out)
     dt = time.monotonic() - t0

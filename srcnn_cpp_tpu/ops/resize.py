@@ -119,6 +119,13 @@ def _catmull_rom(x, a=-0.75):
     )
 
 
+def _keys_cubic(x):
+    # a = -0.5: the Keys kernel MATLAB's imresize 'bicubic' uses — the
+    # degradation of record for the SRCNN evaluation protocol
+    # (reference Pictures/Resize.m).
+    return _catmull_rom(x, a=-0.5)
+
+
 def _lanczos(x, a=3):
     x = np.asarray(x, dtype=np.float64)
     y = np.sinc(x) * np.sinc(x / a)
@@ -131,6 +138,7 @@ FILTERS: dict[str, tuple] = {
     "bilinear": (_bilinear, 1.0),
     "mitchell": (_mitchell, 2.0),      # frawscale's "bicubic" (frawscale.h:92)
     "catmull_rom": (_catmull_rom, 2.0),  # OpenCV INTER_CUBIC's kernel, float
+    "cubic_matlab": (_keys_cubic, 2.0),  # MATLAB imresize kernel (a=-0.5)
     "lanczos3": (_lanczos, 3.0),
 }
 

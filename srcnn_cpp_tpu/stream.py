@@ -1,0 +1,149 @@
+"""Streaming/video super-resolution with host/device overlap.
+
+The reference processes one still image per process run; this module adds
+the streaming capability its architecture implies (SURVEY.md §5.8 "video
+stream config"): a pipelined upscaler that keeps several frames in flight on
+the device so host-side decode/encode overlaps TPU compute, plus a CLI:
+
+    python -m srcnn_cpp_tpu.stream --scale=2 in.mp4 out.mp4
+    python -m srcnn_cpp_tpu.stream --scale=2 --synthetic=120 --size=1920x1080
+
+Dispatch is asynchronous in JAX: ``push`` enqueues the jitted pipeline and
+returns immediately; results materialize on ``pop`` (device->host fetch),
+which only blocks once the pipeline depth is reached.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import sys
+import time
+
+import numpy as np
+
+from .weights import SRCNNWeights, load_weights
+
+
+class StreamUpscaler:
+    """Pipelined frame upscaler with a fixed number of frames in flight."""
+
+    def __init__(self, scale: float, weights: SRCNNWeights | None = None,
+                 kernel: str = "pallas", depth: int = 3):
+        self.scale = float(scale)
+        self.kernel = kernel
+        self.depth = int(depth)
+        self.weights = weights if weights is not None else load_weights()
+        self._inflight: collections.deque = collections.deque()
+
+    def push(self, frame_bgr: np.ndarray) -> np.ndarray | None:
+        """Enqueue one frame; returns a completed frame or None."""
+        from .pipeline import upscale_bgr
+
+        out = upscale_bgr(frame_bgr, self.scale, self.weights,
+                          kernel=self.kernel)
+        self._inflight.append(out)
+        if len(self._inflight) > self.depth:
+            return np.asarray(self._inflight.popleft())
+        return None
+
+    def drain(self):
+        """Yield all remaining frames in order."""
+        while self._inflight:
+            yield np.asarray(self._inflight.popleft())
+
+
+def run_synthetic(n: int, size: tuple[int, int], scale: float,
+                  kernel: str) -> dict:
+    """Throughput benchmark over synthetic frames; returns fps/MP/s."""
+    h, w = size
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    up = StreamUpscaler(scale, kernel=kernel)
+    out = up.push(frame)  # compile
+    for _ in up.drain():
+        pass
+    t0 = time.monotonic()
+    done = 0
+    for i in range(n):
+        if up.push(frame) is not None:
+            done += 1
+    for _ in up.drain():
+        done += 1
+    dt = time.monotonic() - t0
+    oh, ow = int(h * scale), int(w * scale)
+    mp = done * oh * ow / 1e6
+    return {"frames": done, "seconds": dt, "fps": done / dt, "mps": mp / dt}
+
+
+def run_video(src: str, dst: str, scale: float, kernel: str,
+              verbose: bool = True) -> int:
+    try:
+        import cv2
+    except Exception:
+        print("stream: cv2 unavailable for video I/O", file=sys.stderr)
+        return 2
+    cap = cv2.VideoCapture(src)
+    if not cap.isOpened():
+        print(f"stream: cannot open {src!r}", file=sys.stderr)
+        return 1
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    up = StreamUpscaler(scale, kernel=kernel)
+    writer = None
+    n = 0
+    t0 = time.monotonic()
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        out = up.push(frame)
+        if out is not None:
+            if writer is None:
+                oh, ow = out.shape[:2]
+                writer = cv2.VideoWriter(
+                    dst, cv2.VideoWriter_fourcc(*"mp4v"), fps, (ow, oh))
+            writer.write(out)
+            n += 1
+    for out in up.drain():
+        if writer is None:
+            oh, ow = out.shape[:2]
+            writer = cv2.VideoWriter(
+                dst, cv2.VideoWriter_fourcc(*"mp4v"), fps, (ow, oh))
+        writer.write(out)
+        n += 1
+    cap.release()
+    if writer is not None:
+        writer.release()
+    dt = time.monotonic() - t0
+    if verbose:
+        print(f"stream: {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps)"
+              f" -> {dst}")
+    return 0 if n else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="srcnn-stream", description=__doc__)
+    ap.add_argument("src", nargs="?")
+    ap.add_argument("dst", nargs="?")
+    ap.add_argument("--scale", type=float, default=2.0)
+    ap.add_argument("--kernel", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="benchmark N synthetic frames instead of a file")
+    ap.add_argument("--size", default="1920x1080",
+                    help="synthetic frame WxH")
+    args = ap.parse_args(argv)
+
+    if args.synthetic:
+        w, h = (int(t) for t in args.size.lower().split("x"))
+        r = run_synthetic(args.synthetic, (h, w), args.scale, args.kernel)
+        print(f"synthetic {r['frames']} frames {args.size} x{args.scale:g}: "
+              f"{r['fps']:.1f} fps  ({r['mps']:.0f} MP/s output)")
+        return 0
+    if not args.src or not args.dst:
+        ap.print_help()
+        return 1
+    return run_video(args.src, args.dst, args.scale, args.kernel)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,64 @@
+"""Evaluation harness and streaming pipeline (CPU, small sizes)."""
+
+import numpy as np
+import pytest
+
+
+def test_evaluate_image_gains_on_smooth_structure(weights):
+    # a structured synthetic image: SRCNN should at least roughly track
+    # bicubic (exact gains are content-dependent); sanity: finite, ordered
+    from srcnn_cpp_tpu.evaluate import evaluate_image
+
+    x = np.indices((64, 64)).sum(0)
+    img = np.stack([x % 256, (x * 3) % 256, (x * 7) % 256], -1).astype(np.uint8)
+    m = evaluate_image(img, 2.0, weights)
+    for k, v in m.items():
+        assert np.isfinite(v), k
+    assert 10 < m["psnr_bicubic"] < 100
+    assert 10 < m["psnr_srcnn"] < 100
+
+
+def test_evaluate_cli_json(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import json
+
+    from srcnn_cpp_tpu.evaluate import main
+
+    img = np.random.default_rng(0).integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    p = tmp_path / "t.png"
+    cv2.imwrite(str(p), img)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--scale=2", "--json", str(p)])
+    assert rc == 0
+    data = json.loads(buf.getvalue())
+    assert data["images"][0]["image"] == "t.png"
+
+
+def test_stream_upscaler_pipelines_in_order(weights):
+    from srcnn_cpp_tpu.stream import StreamUpscaler
+
+    up = StreamUpscaler(1.5, weights=weights, kernel="xla", depth=2)
+    frames = [np.full((16, 16, 3), i * 10, dtype=np.uint8) for i in range(6)]
+    outs = []
+    for f in frames:
+        r = up.push(f)
+        if r is not None:
+            outs.append(r)
+    outs += list(up.drain())
+    assert len(outs) == 6
+    assert all(o.shape == (24, 24, 3) for o in outs)
+    # order: constant frames map to near-constant outputs, increasing
+    means = [o.mean() for o in outs]
+    assert means == sorted(means)
+
+
+def test_stream_synthetic_benchmark(weights):
+    from srcnn_cpp_tpu.stream import run_synthetic
+
+    r = run_synthetic(4, (32, 32), 2.0, "xla")
+    assert r["frames"] == 4
+    assert r["fps"] > 0
