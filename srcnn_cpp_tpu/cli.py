@@ -53,7 +53,8 @@ def print_help(file=sys.stdout) -> None:
     print("Options:", file=file)
     print("  --scale=<float>    scaling ratio, default 2.0 (must be > 0)", file=file)
     print("  --noverbose        run silently", file=file)
-    print("  --kernel=<name>    conv backend: xla (default) or pallas", file=file)
+    print("  --kernel=<name>    conv backend: pallas (default) or xla", file=file)
+    print("  --resize=<mode>    bicubic engine: exact (default) or fast", file=file)
     print("  --repeat=<int>     time the compute span over N runs", file=file)
     print("  --help             this message", file=file)
 
@@ -63,7 +64,8 @@ def parse_args(argv: list[str]):
     opts = {
         "scale": 2.0,
         "verbose": True,
-        "kernel": "xla",
+        "kernel": "pallas",
+        "resize": "exact",
         "repeat": 1,
         "src": None,
         "dst": None,
@@ -80,6 +82,8 @@ def parse_args(argv: list[str]):
             opts["verbose"] = False
         elif arg.startswith("--kernel="):
             opts["kernel"] = arg.split("=", 1)[1]
+        elif arg.startswith("--resize="):
+            opts["resize"] = arg.split("=", 1)[1]
         elif arg.startswith("--repeat="):
             opts["repeat"] = max(1, int(arg.split("=", 1)[1]))
         elif arg == "--help":
@@ -120,7 +124,8 @@ def run(opts) -> int:
     out_np = None
     for i in range(opts["repeat"]):
         with TickTimer() as t:
-            out = upscale_bgr(img, opts["scale"], weights, kernel=opts["kernel"])
+            out = upscale_bgr(img, opts["scale"], weights,
+                              kernel=opts["kernel"], resize=opts["resize"])
             # fetch to host inside the span: device-queue completion is the
             # only reliable fence on relayed backends
             out_np = np.asarray(out)

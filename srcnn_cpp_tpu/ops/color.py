@@ -36,7 +36,11 @@ def _descale(x, n: int = _SHIFT):
 
 
 def bgr2ycrcb_u8(bgr):
-    """uint8 BGR [..., 3] -> uint8 YCrCb [..., 3], OpenCV-bit-exact."""
+    """uint8 BGR [..., 3] -> uint8 YCrCb [..., 3], OpenCV-bit-exact.
+
+    NOTE: channels-last layout is convenient but maps badly onto TPU tiles
+    (3-wide lane dim); the jitted pipeline uses the planar variants below.
+    """
     x = bgr.astype(jnp.int32)
     b, g, r = x[..., 0], x[..., 1], x[..., 2]
     y = _descale(b * _B2Y + g * _G2Y + r * _R2Y)
@@ -54,4 +58,30 @@ def ycrcb2bgr_u8(ycrcb):
     g = y + _descale((cb - 128) * _CB2G + (cr - 128) * _CR2G)
     r = y + _descale((cr - 128) * _CR2R)
     out = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def bgr2ycrcb_u8_planar(bgr_p):
+    """uint8 planar BGR [..., 3, H, W] -> planar YCrCb, OpenCV-bit-exact.
+
+    Planar layout keeps W on the lane axis (dense tiles); the channel dim is
+    a cheap leading dim.  Same 14-bit fixed-point arithmetic as above.
+    """
+    x = bgr_p.astype(jnp.int32)
+    b, g, r = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
+    y = _descale(b * _B2Y + g * _G2Y + r * _R2Y)
+    cr = _descale((r - y) * _R2CR + _DELTA)
+    cb = _descale((b - y) * _B2CB + _DELTA)
+    out = jnp.stack([y, cr, cb], axis=-3)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def ycrcb2bgr_u8_planar(ycrcb_p):
+    """uint8 planar YCrCb [..., 3, H, W] -> planar BGR, OpenCV-bit-exact."""
+    x = ycrcb_p.astype(jnp.int32)
+    y, cr, cb = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
+    b = y + _descale((cb - 128) * _CB2B)
+    g = y + _descale((cb - 128) * _CB2G + (cr - 128) * _CR2G)
+    r = y + _descale((cr - 128) * _CR2R)
+    out = jnp.stack([b, g, r], axis=-3)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)

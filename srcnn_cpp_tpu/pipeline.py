@@ -9,6 +9,16 @@ One jitted function runs the reference's full 9-step pipeline
 Everything between decode and encode happens in a single XLA program with
 static shapes; image decode/encode stay host-side (as in the reference,
 srcnn.cpp:462,670 via OpenCV imread/imwrite).
+
+Device arrays are PLANAR ``[..., 3, H, W]``: channels-last u8 tensors tile
+as (W, 3) with a 3-wide lane axis — a ~40x padded-layout blowup that made
+even elementwise color math dominate the profile.  Host wrappers transpose
+HWC<->planar (a memcpy-speed numpy op) around the jit boundary.
+
+``resize`` selects the pre-upscale engine: ``"exact"`` (gather-based,
+bit-exact with OpenCV 4.6) or ``"fast"`` (banded-matmul MXU form, ~70 dB
+agreement with exact; see ops/resize.py).  ``kernel`` selects the conv
+backend: ``"pallas"`` (fused single-pass kernel) or ``"xla"``.
 """
 
 from __future__ import annotations
@@ -17,61 +27,34 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .ops.color import bgr2ycrcb_u8, ycrcb2bgr_u8
-from .ops.resize import resize_bicubic_u8, scaled_size
+from .ops.color import bgr2ycrcb_u8_planar, ycrcb2bgr_u8_planar
+from .ops.resize import resize_bicubic_u8, resize_bicubic_u8_fast, scaled_size
 from .ops.srcnn import srcnn_y
 from .weights import SRCNNWeights, load_weights
 
 
-@partial(jax.jit, static_argnames=("out_hw", "backend_kernel"))
-def _upscale_bgr_jit(bgr_u8, weights: SRCNNWeights, out_hw: tuple[int, int],
-                     backend_kernel: str = "xla"):
-    ycrcb = bgr2ycrcb_u8(bgr_u8)                       # [H, W, 3] u8
-    chans = jnp.moveaxis(ycrcb, -1, 0)                 # [3, H, W]
-    up = resize_bicubic_u8(chans, out_hw)              # [3, oh, ow] u8
-    if backend_kernel == "pallas":
-        from .ops.pallas_srcnn import srcnn_y_fused
-        y_sr = srcnn_y_fused(up[0], weights)
-    else:
-        y_sr = srcnn_y(up[0], weights)                 # [oh, ow] u8
-    merged = jnp.stack([y_sr, up[1], up[2]], axis=-1)  # [oh, ow, 3] u8
-    return ycrcb2bgr_u8(merged)
-
-
-def upscale_bgr(bgr_u8, scale: float, weights: SRCNNWeights | None = None,
-                kernel: str = "xla"):
-    """Super-resolve one BGR uint8 image by ``scale``.
-
-    Output dims are ``floor(float32(dim) * float32(scale))``, matching the
-    reference (srcnn.cpp:573-575).  ``kernel`` selects the conv backend:
-    ``"xla"`` (lax.conv) or ``"pallas"`` (fused single-pass kernel).
-    """
-    weights = weights if weights is not None else load_weights()
-    h, w = bgr_u8.shape[:2]
-    ow, oh = scaled_size(w, h, scale)
-    return _upscale_bgr_jit(jnp.asarray(bgr_u8), weights, (oh, ow), kernel)
-
-
-@partial(jax.jit, static_argnames=("out_hw", "backend_kernel"))
-def _upscale_bgr_batch_jit(bgr_u8, weights: SRCNNWeights,
-                           out_hw: tuple[int, int],
-                           backend_kernel: str = "xla"):
-    ycrcb = bgr2ycrcb_u8(bgr_u8)                       # [B, H, W, 3]
-    chans = jnp.moveaxis(ycrcb, -1, 1)                 # [B, 3, H, W]
-    up = resize_bicubic_u8(chans, out_hw)              # [B, 3, oh, ow]
+@partial(jax.jit, static_argnames=("out_hw", "backend_kernel", "resize_mode"))
+def _upscale_planar_jit(bgr_p, weights: SRCNNWeights, out_hw: tuple[int, int],
+                        backend_kernel: str = "pallas",
+                        resize_mode: str = "exact"):
+    """Planar BGR u8 ``[B, 3, H, W]`` -> planar BGR u8 ``[B, 3, oh, ow]``."""
+    ycc = bgr2ycrcb_u8_planar(bgr_p)
+    rs = resize_bicubic_u8_fast if resize_mode == "fast" else resize_bicubic_u8
+    up = rs(ycc, out_hw)                                  # [B, 3, oh, ow]
     if backend_kernel == "pallas":
         from .ops.pallas_srcnn import srcnn_y_fused
 
         y_sr = srcnn_y_fused(up[:, 0], weights)
     else:
-        y_sr = srcnn_y(up[:, 0], weights)              # [B, oh, ow]
-    merged = jnp.stack([y_sr, up[:, 1], up[:, 2]], axis=-1)
-    return ycrcb2bgr_u8(merged)
+        y_sr = srcnn_y(up[:, 0], weights)                 # [B, oh, ow]
+    merged = jnp.stack([y_sr, up[:, 1], up[:, 2]], axis=-3)
+    return ycrcb2bgr_u8_planar(merged)
 
 
 def upscale_bgr_batch(bgr_u8, scale: float, weights: SRCNNWeights | None = None,
-                      kernel: str = "xla"):
+                      kernel: str = "pallas", resize: str = "exact"):
     """Super-resolve a batch ``[B, H, W, 3]`` of BGR uint8 frames.
 
     The batch dimension amortizes dispatch overhead and shards over the
@@ -81,12 +64,30 @@ def upscale_bgr_batch(bgr_u8, scale: float, weights: SRCNNWeights | None = None,
     weights = weights if weights is not None else load_weights()
     h, w = bgr_u8.shape[1:3]
     ow, oh = scaled_size(w, h, scale)
-    return _upscale_bgr_batch_jit(jnp.asarray(bgr_u8), weights, (oh, ow), kernel)
+    if isinstance(bgr_u8, jax.Array):
+        planar = jnp.moveaxis(bgr_u8, -1, 1)  # device-side relayout
+    else:  # host transpose is memcpy-speed; avoids the padded HWC layout
+        planar = jnp.asarray(
+            np.ascontiguousarray(np.moveaxis(np.asarray(bgr_u8), -1, 1)))
+    out = _upscale_planar_jit(planar, weights, (oh, ow), kernel, resize)
+    return jnp.moveaxis(out, 1, -1)
+
+
+def upscale_bgr(bgr_u8, scale: float, weights: SRCNNWeights | None = None,
+                kernel: str = "pallas", resize: str = "exact"):
+    """Super-resolve one BGR uint8 image ``[H, W, 3]`` by ``scale``.
+
+    Output dims are ``floor(float32(dim) * float32(scale))``, matching the
+    reference (srcnn.cpp:573-575).
+    """
+    out = upscale_bgr_batch(np.asarray(bgr_u8)[None], scale, weights,
+                            kernel=kernel, resize=resize)
+    return out[0]
 
 
 @partial(jax.jit, static_argnames=("out_hw", "backend_kernel"))
 def _upscale_plane_jit(y_u8, weights: SRCNNWeights, out_hw: tuple[int, int],
-                       backend_kernel: str = "xla"):
+                       backend_kernel: str = "pallas"):
     up = resize_bicubic_u8(y_u8, out_hw)
     if backend_kernel == "pallas":
         from .ops.pallas_srcnn import srcnn_y_fused
@@ -96,7 +97,7 @@ def _upscale_plane_jit(y_u8, weights: SRCNNWeights, out_hw: tuple[int, int],
 
 
 def process_srcnn(buf, w: int, h: int, d: int, scale: float,
-                  weights: SRCNNWeights | None = None, kernel: str = "xla"):
+                  weights: SRCNNWeights | None = None, kernel: str = "pallas"):
     """Raw-buffer library API (the libsrcnn ``ProcessSRCNN`` shape).
 
     Mirrors the call contract documented by the reference's sibling test
@@ -106,14 +107,13 @@ def process_srcnn(buf, w: int, h: int, d: int, scale: float,
     directly) or 3 (RGB interleaved, converted through YCrCb like the main
     binary).
     """
-    import numpy as np
-
     weights = weights if weights is not None else load_weights()
     img = np.asarray(buf, dtype=np.uint8).reshape(h, w, d) if d > 1 else \
         np.asarray(buf, dtype=np.uint8).reshape(h, w)
     ow, oh = scaled_size(w, h, scale)
     if d == 1:
-        out = np.asarray(_upscale_plane_jit(jnp.asarray(img), weights, (oh, ow)))
+        out = np.asarray(_upscale_plane_jit(jnp.asarray(img), weights,
+                                            (oh, ow), kernel))
     elif d == 3:
         bgr = img[..., ::-1]
         out = np.asarray(upscale_bgr(bgr, scale, weights, kernel))[..., ::-1]

@@ -53,3 +53,16 @@ def test_extremes_roundtrip_stability():
     # YCrCb->BGR->YCrCb of achromatic pixels is identity.
     assert np.array_equal(back[0, 0], corners[0, 0])
     assert np.array_equal(back[0, 1], corners[0, 1])
+
+
+def test_planar_variants_match_interleaved():
+    from srcnn_cpp_tpu.ops.color import (bgr2ycrcb_u8, bgr2ycrcb_u8_planar,
+                                         ycrcb2bgr_u8, ycrcb2bgr_u8_planar)
+    img = _rand_u8((2, 37, 53, 3), seed=11)
+    planar = np.moveaxis(img, -1, 1)
+    a = np.asarray(bgr2ycrcb_u8(img))
+    b = np.moveaxis(np.asarray(bgr2ycrcb_u8_planar(planar)), 1, -1)
+    assert np.array_equal(a, b)
+    a2 = np.asarray(ycrcb2bgr_u8(img))
+    b2 = np.moveaxis(np.asarray(ycrcb2bgr_u8_planar(planar)), 1, -1)
+    assert np.array_equal(a2, b2)

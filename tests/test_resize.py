@@ -125,3 +125,16 @@ def test_separable_matches_batched():
     one = np.asarray(resize_separable(x[1], (36, 52), "mitchell"))
     assert out.shape == (3, 36, 52)
     assert np.allclose(out[1], one, atol=1e-5)
+
+
+def test_fast_matmul_engine_close_to_exact(cv46_cases):
+    # banded-matmul MXU variant: ±1 LSB on isolated rounding-boundary
+    # pixels, identical elsewhere (see resize_bicubic_u8_fast docstring)
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8_fast
+    import numpy as np
+
+    for src, ref in cv46_cases[:4]:
+        out = np.asarray(resize_bicubic_u8_fast(src, ref.shape))
+        d = np.abs(out.astype(int) - ref.astype(int))
+        assert d.max() <= 1, (src.shape, ref.shape, d.max())
+        assert (d > 0).mean() < 0.02
