@@ -35,10 +35,11 @@ def _conv(x, w, precision):
     )
 
 
-def _edge_pad_hw(x, pad: int, pad_h: bool = True):
-    """Replicate-pad the W (and optionally H) dims of an NHWC tensor."""
+def _edge_pad_hw(x, pad: int, pad_h: bool = True, pad_w: bool = True):
+    """Replicate-pad the H/W dims of an NHWC tensor (each optional)."""
     hp = (pad, pad) if pad_h else (0, 0)
-    return jnp.pad(x, ((0, 0), hp, (pad, pad), (0, 0)), mode="edge")
+    wp = (pad, pad) if pad_w else (0, 0)
+    return jnp.pad(x, ((0, 0), hp, wp, (0, 0)), mode="edge")
 
 
 def _to_nhwc(y):
@@ -52,33 +53,35 @@ def _to_nhwc(y):
 
 
 def conv12_f32(y_nhwc, weights, precision=lax.Precision.HIGHEST,
-               pad_h: bool = True):
+               pad_h: bool = True, pad_w: bool = True):
     """conv1 (9x9, 1->64, ReLU) + conv2 (1x1, 64->32, ReLU) on NHWC input.
 
-    With ``pad_h=False`` the 9x9 runs VALID in H: the output loses 4 rows
-    per side relative to the input (used by the tiled path, which feeds
-    halo-extended tiles).
+    With ``pad_h=False`` (resp. ``pad_w=False``) the 9x9 runs VALID in that
+    dim: the output loses 4 rows/cols per side relative to the input (used
+    by the tiled paths, which feed halo-extended tiles).
     """
     x = y_nhwc.astype(jnp.float32)
     w1 = jnp.transpose(weights.conv1_w.astype(jnp.float32), (2, 3, 1, 0))
     w2 = jnp.transpose(weights.conv2_w.astype(jnp.float32), (2, 3, 1, 0))
-    x = _conv(_edge_pad_hw(x, 4, pad_h), w1, precision) + weights.conv1_b.astype(jnp.float32)
+    x = _conv(_edge_pad_hw(x, 4, pad_h, pad_w), w1, precision) \
+        + weights.conv1_b.astype(jnp.float32)
     x = jax.nn.relu(x)
     x = _conv(x, w2, precision) + weights.conv2_b.astype(jnp.float32)
     return jax.nn.relu(x)
 
 
 def conv3_f32(f2_nhwc, weights, precision=lax.Precision.HIGHEST,
-              pad_h: bool = True):
+              pad_h: bool = True, pad_w: bool = True):
     """conv3 (5x5, 32->1, no ReLU) on NHWC features -> NHWC [..., 1].
 
     The reference replicate-pads conv3 *at the feature level* — the pad rows
     are clamped copies of f2's edge rows (srcnn.cpp:200-210), not values
     computed from virtually-extended input.  ``pad_h=True`` reproduces that;
-    ``pad_h=False`` expects the caller to supply the 2 extra feature rows.
+    ``pad_h=False`` expects the caller to supply the 2 extra feature rows
+    (likewise for ``pad_w``).
     """
     w3 = jnp.transpose(weights.conv3_w.astype(jnp.float32), (2, 3, 1, 0))
-    x = _conv(_edge_pad_hw(f2_nhwc, 2, pad_h), w3, precision)
+    x = _conv(_edge_pad_hw(f2_nhwc, 2, pad_h, pad_w), w3, precision)
     return x + weights.conv3_b.astype(jnp.float32)
 
 

@@ -18,22 +18,24 @@ from jax.sharding import Mesh
 
 
 def make_mesh(data: int | None = None, row: int | None = None,
-              devices=None) -> Mesh:
-    """Build a ``(data, row)`` mesh over the available devices.
+              col: int = 1, devices=None) -> Mesh:
+    """Build a ``(data, row, col)`` mesh over the available devices.
 
     With no arguments, puts every device on the ``row`` axis (pure spatial
-    tiling).  Exactly one of ``data``/``row`` may be None, in which case it
-    is inferred; both given must multiply to the device count.
+    tiling).  One of ``data``/``row`` may be None, in which case it is
+    inferred; the axis sizes must multiply to the device count.  ``col``
+    shards image columns for 2-D spatial tiling (halo exchange on both
+    axes).
     """
     devices = list(jax.devices()) if devices is None else list(devices)
     n = len(devices)
     if data is None and row is None:
-        data, row = 1, n
+        data, row = 1, n // col
     elif data is None:
-        data = n // row
+        data = n // (row * col)
     elif row is None:
-        row = n // data
-    if data * row != n:
-        raise ValueError(f"mesh {data}x{row} != {n} devices")
-    arr = np.asarray(devices).reshape(data, row)
-    return Mesh(arr, ("data", "row"))
+        row = n // (data * col)
+    if data * row * col != n:
+        raise ValueError(f"mesh {data}x{row}x{col} != {n} devices")
+    arr = np.asarray(devices).reshape(data, row, col)
+    return Mesh(arr, ("data", "row", "col"))

@@ -58,6 +58,31 @@ def _halo_exchange_rows(y, halo: int, axis_name: str = "row"):
     return jnp.concatenate([top, y, bot], axis=-2)
 
 
+def _clamp_feature_edges(f2, axis: int, axis_name: str):
+    """Replace the 2 outermost feature rows/cols with clamped copies at the
+    true image edges (reference conv3 padding semantics), pass through
+    neighbor-derived values elsewhere.  ``axis`` is the spatial dim of the
+    NHWC tensor (-3 rows, -2 cols)."""
+    n = lax.axis_size(axis_name)
+
+    def take(i, k=1):
+        sl = [slice(None)] * f2.ndim
+        sl[axis] = slice(i, i + k) if i >= 0 else slice(i, (i + k) or None)
+        return f2[tuple(sl)]
+
+    lead_clamped = jnp.repeat(take(2), 2, axis=axis)
+    tail_clamped = jnp.repeat(take(-3), 2, axis=axis)
+    if n == 1:
+        lead, tail = lead_clamped, tail_clamped
+    else:
+        idx = lax.axis_index(axis_name)
+        lead = jnp.where(idx == 0, lead_clamped, take(0, 2))
+        tail = jnp.where(idx == n - 1, tail_clamped, take(-2, 2))
+    mid_sl = [slice(None)] * f2.ndim
+    mid_sl[axis] = slice(2, -2)
+    return jnp.concatenate([lead, f2[tuple(mid_sl)], tail], axis=axis)
+
+
 def _srcnn_rows_f32(y_block, weights, axis_name: str = "row"):
     """Per-device forward on a row block ``[B, Ht, W]`` -> f32 ``[B, Ht, W]``.
 
@@ -67,51 +92,83 @@ def _srcnn_rows_f32(y_block, weights, axis_name: str = "row"):
     computed from virtually-extended input; those two rows are overwritten
     accordingly on the first/last device.
     """
-    n = lax.axis_size(axis_name)
     ext = _halo_exchange_rows(y_block, HALO, axis_name)        # [B, Ht+12, W]
     f2 = conv12_f32(ext[..., None], weights, pad_h=False)       # [B, Ht+4, W, 32]
-    if n == 1:
-        f2 = jnp.concatenate(
-            [jnp.repeat(f2[..., 2:3, :, :], 2, axis=-3),
-             f2[..., 2:-2, :, :],
-             jnp.repeat(f2[..., -3:-2, :, :], 2, axis=-3)], axis=-3)
-    else:
-        idx = lax.axis_index(axis_name)
-        top = jnp.where(idx == 0,
-                        jnp.repeat(f2[..., 2:3, :, :], 2, axis=-3),
-                        f2[..., 0:2, :, :])
-        bot = jnp.where(idx == n - 1,
-                        jnp.repeat(f2[..., -3:-2, :, :], 2, axis=-3),
-                        f2[..., -2:, :, :])
-        f2 = jnp.concatenate([top, f2[..., 2:-2, :, :], bot], axis=-3)
+    f2 = _clamp_feature_edges(f2, -3, axis_name)
     out = conv3_f32(f2, weights, pad_h=False)                   # [B, Ht, W, 1]
+    return out[..., 0]
+
+
+def _halo_exchange_cols(y, halo: int, axis_name: str = "col"):
+    """Column analogue of :func:`_halo_exchange_rows` (lane-dim halos)."""
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        edge_l = jnp.repeat(y[..., :, :1], halo, axis=-1)
+        edge_r = jnp.repeat(y[..., :, -1:], halo, axis=-1)
+        return jnp.concatenate([edge_l, y, edge_r], axis=-1)
+    idx = lax.axis_index(axis_name)
+    right = [(i, i + 1) for i in range(n - 1)]
+    left = [(i + 1, i) for i in range(n - 1)]
+    recv_l = lax.ppermute(y[..., :, -halo:], axis_name, right)
+    recv_r = lax.ppermute(y[..., :, :halo], axis_name, left)
+    edge_l = jnp.repeat(y[..., :, :1], halo, axis=-1)
+    edge_r = jnp.repeat(y[..., :, -1:], halo, axis=-1)
+    lead = jnp.where(idx == 0, edge_l, recv_l)
+    tail = jnp.where(idx == n - 1, edge_r, recv_r)
+    return jnp.concatenate([lead, y, tail], axis=-1)
+
+
+def _srcnn_tile2d_f32(y_block, weights, row_axis: str = "row",
+                      col_axis: str = "col"):
+    """Per-device forward on a 2-D tile ``[B, Ht, Wt]`` (row x col mesh).
+
+    Halo exchange on both spatial axes; conv runs VALID in both; conv3's
+    feature-level clamp applied at true image edges on both axes.
+    """
+    ext = _halo_exchange_rows(y_block, HALO, row_axis)
+    ext = _halo_exchange_cols(ext, HALO, col_axis)     # [B, Ht+12, Wt+12]
+    f2 = conv12_f32(ext[..., None], weights, pad_h=False, pad_w=False)
+    f2 = _clamp_feature_edges(f2, -3, row_axis)
+    f2 = _clamp_feature_edges(f2, -2, col_axis)
+    out = conv3_f32(f2, weights, pad_h=False, pad_w=False)
     return out[..., 0]
 
 
 @partial(jax.jit, static_argnames=("mesh",))
 def _tiled_call(y, weights, mesh: Mesh):
-    fn = shard_map(
-        lambda w, x: quantize_trunc_u8(_srcnn_rows_f32(x, w)),
-        mesh=mesh,
-        in_specs=(P(), P("data", "row", None)),
-        out_specs=P("data", "row", None),
-    )
+    if "col" in mesh.shape and mesh.shape["col"] > 1:
+        fn = shard_map(
+            lambda w, x: quantize_trunc_u8(_srcnn_tile2d_f32(x, w)),
+            mesh=mesh,
+            in_specs=(P(), P("data", "row", "col")),
+            out_specs=P("data", "row", "col"),
+        )
+    else:
+        fn = shard_map(
+            lambda w, x: quantize_trunc_u8(_srcnn_rows_f32(x, w)),
+            mesh=mesh,
+            in_specs=(P(), P("data", "row", None)),
+            out_specs=P("data", "row", None),
+        )
     return fn(weights, y)
 
 
 def srcnn_y_tiled(y_u8, weights, mesh: Mesh):
     """SRCNN an upscaled Y batch ``[B, H, W]`` sharded over a device mesh.
 
-    ``B`` shards over the ``data`` axis, rows over ``row``.  ``B`` and ``H``
-    must divide by the respective mesh axis sizes (use
+    ``B`` shards over the ``data`` axis, rows over ``row`` and (when the
+    mesh has one) columns over ``col`` — 2-D spatial tiling with halo
+    exchange on both axes.  Dims must divide by the mesh axis sizes (use
     :func:`upscale_y_tiled` for arbitrary ``H``).
     """
     ndata, nrow = mesh.shape["data"], mesh.shape["row"]
-    b, h, _ = y_u8.shape
-    if b % ndata or h % nrow:
-        raise ValueError(f"batch {b} / height {h} not divisible by mesh "
-                         f"{ndata}x{nrow}")
-    y = jax.device_put(y_u8, NamedSharding(mesh, P("data", "row", None)))
+    ncol = mesh.shape.get("col", 1)
+    b, h, w = y_u8.shape
+    if b % ndata or h % nrow or w % ncol:
+        raise ValueError(f"batch {b} / height {h} / width {w} not divisible "
+                         f"by mesh {ndata}x{nrow}x{ncol}")
+    spec = P("data", "row", "col" if ncol > 1 else None)
+    y = jax.device_put(y_u8, NamedSharding(mesh, spec))
     return _tiled_call(y, weights, mesh)
 
 

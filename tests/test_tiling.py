@@ -75,8 +75,33 @@ def test_mesh_construction():
 
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     m = make_mesh()
-    assert m.shape == {"data": 1, "row": 8}
+    assert dict(m.shape) == {"data": 1, "row": 8, "col": 1}
     m2 = make_mesh(data=4)
-    assert m2.shape == {"data": 4, "row": 2}
+    assert dict(m2.shape) == {"data": 4, "row": 2, "col": 1}
+    m3 = make_mesh(data=1, row=4, col=2)
+    assert dict(m3.shape) == {"data": 1, "row": 4, "col": 2}
     with pytest.raises(ValueError):
         make_mesh(data=3, row=3)
+
+
+def test_tiled_2d_bit_exact_vs_monolithic(weights):
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+    from srcnn_cpp_tpu.parallel import make_mesh, srcnn_y_tiled
+
+    # 2-D spatial mesh: rows x cols halo exchange on both axes
+    mesh = make_mesh(data=1, row=2, col=4)
+    y = _rand_y((1, 64, 96), seed=7)
+    mono = np.asarray(srcnn_y(y, weights))
+    tiled = np.asarray(srcnn_y_tiled(y, weights, mesh))
+    assert np.array_equal(mono, tiled)
+
+
+def test_tiled_2d_with_data_axis(weights):
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+    from srcnn_cpp_tpu.parallel import make_mesh, srcnn_y_tiled
+
+    mesh = make_mesh(data=2, row=2, col=2)
+    y = _rand_y((2, 48, 64), seed=8)
+    mono = np.asarray(srcnn_y(y, weights))
+    tiled = np.asarray(srcnn_y_tiled(y, weights, mesh))
+    assert np.array_equal(mono, tiled)
