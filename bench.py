@@ -24,8 +24,8 @@ import time
 import numpy as np
 
 BASELINE_MPS = 0.0178  # reference binary, test.jpg x2, this host
-BATCH = 16
-ITERS = 8
+BATCH = 32
+ITERS = 6
 KERNEL = "pallas"  # fused single-pass kernel (ops/pallas_srcnn.py)
 RESIZE = "fast"    # banded-matmul bicubic (~70 dB agreement with exact)
 

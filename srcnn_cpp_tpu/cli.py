@@ -53,7 +53,8 @@ def print_help(file=sys.stdout) -> None:
     print("Options:", file=file)
     print("  --scale=<float>    scaling ratio, default 2.0 (must be > 0)", file=file)
     print("  --noverbose        run silently", file=file)
-    print("  --kernel=<name>    conv backend: pallas (default) or xla", file=file)
+    print("  --kernel=<name>    conv backend: pallas (default), xla, xla_split",
+          file=file)
     print("  --resize=<mode>    bicubic engine: exact (default) or fast", file=file)
     print("  --repeat=<int>     time the compute span over N runs", file=file)
     print("  --help             this message", file=file)

@@ -231,10 +231,12 @@ def _fix_edges(out, y_u8, weights):
 
     The kernel extends the input virtually; the reference clamps f2 feature
     rows/cols instead (srcnn.cpp:200-210).  Those differ only within 2 px of
-    the true image border, so the frame strips are recomputed with the exact
-    XLA path (strips include a 6-px interior margin, making them exact).
+    the true image border, so the frame strips are recomputed with the
+    split-precision XLA path (strips include a 6-px interior margin, making
+    their geometry exact; split precision carries ~2^-16 error, same as the
+    kernel itself).
     """
-    from .srcnn import srcnn_y
+    from .srcnn import srcnn_y_split as srcnn_y
 
     h, w = y_u8.shape
     rs = min(h, 16)   # strip depth with enough interior context

@@ -102,3 +102,45 @@ def srcnn_y_f32(y, weights, precision=lax.Precision.HIGHEST):
 def srcnn_y(y_u8, weights, precision=lax.Precision.HIGHEST):
     """uint8 Y plane(s) -> uint8 super-resolved Y plane(s)."""
     return quantize_trunc_u8(srcnn_y_f32(y_u8, weights, precision))
+
+
+def _split_pair(x):
+    """Excess-precision-proof hi/lo bf16 split of an f32 tensor."""
+    bits = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    hi32 = lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000),
+                                    jnp.float32)
+    return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
+
+
+def srcnn_y_f32_split(y, weights):
+    """Split-precision XLA path: bf16 convs with hi+lo compensation.
+
+    ~3x cheaper than precision=HIGHEST (2-3 bf16 passes instead of 6) at
+    ~2^-16 relative error — used for the fused kernel's edge-strip
+    recompute and anywhere speed matters more than the last fp32 ulp.
+    """
+    y, squeeze = _to_nhwc(y)
+    x = y.astype(jnp.float32)
+
+    def conv_split(x, w, pad, prelu_bias):
+        wt = jnp.transpose(w.astype(jnp.float32), (2, 3, 1, 0))
+        wh, wl = _split_pair(wt)
+        xh, xl = _split_pair(x)
+        xp = lambda t: _edge_pad_hw(t, pad) if pad else t
+        out = _conv(xp(xh), wh, lax.Precision.DEFAULT) \
+            + _conv(xp(xh), wl, lax.Precision.DEFAULT) \
+            + _conv(xp(xl), wh, lax.Precision.DEFAULT)
+        return out + prelu_bias.astype(jnp.float32)
+
+    x = jax.nn.relu(conv_split(x, weights.conv1_w, 4, weights.conv1_b))
+    x = jax.nn.relu(conv_split(x, weights.conv2_w, 0, weights.conv2_b))
+    x = conv_split(x, weights.conv3_w, 2, weights.conv3_b)
+    x = x[..., 0]
+    for ax in squeeze:
+        x = jnp.squeeze(x, ax)
+    return x
+
+
+def srcnn_y_split(y_u8, weights):
+    """uint8 -> uint8 via the split-precision path."""
+    return quantize_trunc_u8(srcnn_y_f32_split(y_u8, weights))

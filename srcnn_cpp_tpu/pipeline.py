@@ -47,6 +47,10 @@ def _upscale_planar_jit(bgr_p, weights: SRCNNWeights, out_hw: tuple[int, int],
         from .ops.pallas_srcnn import srcnn_y_fused
 
         y_sr = srcnn_y_fused(up[:, 0], weights)
+    elif backend_kernel == "xla_split":
+        from .ops.srcnn import srcnn_y_split
+
+        y_sr = srcnn_y_split(up[:, 0], weights)
     else:
         y_sr = srcnn_y(up[:, 0], weights)                 # [B, oh, ow]
     merged = jnp.stack([y_sr, up[:, 1], up[:, 2]], axis=-3)

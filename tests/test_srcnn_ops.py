@@ -72,3 +72,14 @@ def test_replicate_padding_constant_input(weights):
     assert (out == out[0, 0]).all()
     ref = oracle.srcnn_y_ref(y, weights)
     assert abs(int(out[0, 0]) - int(ref[0, 0])) <= 1
+
+
+def test_split_precision_path_matches_highest(weights):
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y, srcnn_y_split
+
+    y = _rand_y(48, 64, seed=11)
+    a = np.asarray(srcnn_y(y, weights)).astype(int)
+    b = np.asarray(srcnn_y_split(y, weights)).astype(int)
+    d = np.abs(a - b)
+    assert d.max() <= 1
+    assert (d > 0).mean() < 5e-3
