@@ -7,13 +7,16 @@ for timing and host-side resampling.
 
 Public surface:
 
-* :func:`srcnn_cpp_tpu.pipeline.upscale` — full image pipeline (the
-  ``srcnn`` binary equivalent).
-* :func:`srcnn_cpp_tpu.pipeline.process_srcnn` — raw-buffer API (the
+* :func:`srcnn_cpp_tpu.upscale_bgr` / :func:`upscale_bgr_batch` — full
+  image pipeline (the ``srcnn`` binary equivalent).
+* :func:`srcnn_cpp_tpu.process_srcnn` — raw-buffer API (the
   ``ProcessSRCNN`` libsrcnn equivalent, reference src/test.cpp:345).
-* :mod:`srcnn_cpp_tpu.models.srcnn` — the SRCNN 9-5-5 model on TPU.
-* :mod:`srcnn_cpp_tpu.parallel` — batch DP + spatial tile sharding with
-  halo exchange over a device mesh.
+* :mod:`srcnn_cpp_tpu.models` — the SRCNN model family.
+* :mod:`srcnn_cpp_tpu.parallel` — batch DP + 1-D/2-D spatial tile sharding
+  with halo exchange over a device mesh; multi-host helpers.
+* :mod:`srcnn_cpp_tpu.train` — MSE trainer (data pipeline, steps, driver).
+* :mod:`srcnn_cpp_tpu.evaluate` / :mod:`stream` — eval harness, video.
+* :mod:`srcnn_cpp_tpu.native` — C++ host runtime bindings.
 * :mod:`srcnn_cpp_tpu.cli` — the ``srcnn`` command line.
 """
 
@@ -25,8 +28,12 @@ from .weights import SRCNNWeights, load_weights  # noqa: F401
 def __getattr__(name):
     # Lazy re-exports so that `import srcnn_cpp_tpu` stays cheap (no JAX
     # import) for weights-only consumers like the NumPy oracle tests.
-    if name in ("upscale_bgr", "process_srcnn"):
+    if name in ("upscale_bgr", "upscale_bgr_batch", "process_srcnn"):
         from . import pipeline
 
         return getattr(pipeline, name)
+    if name == "SRCNN":
+        from .models import SRCNN
+
+        return SRCNN
     raise AttributeError(name)
