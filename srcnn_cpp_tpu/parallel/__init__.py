@@ -14,4 +14,18 @@ The reference's only parallelism is OpenMP row-loops in one process
 from .mesh import make_mesh
 from .tiling import srcnn_y_tiled, upscale_y_tiled
 
-__all__ = ["make_mesh", "srcnn_y_tiled", "upscale_y_tiled"]
+
+def __getattr__(name):
+    if name == "srcnn_y_gspmd":
+        from .gspmd import srcnn_y_gspmd
+
+        return srcnn_y_gspmd
+    if name in ("initialize", "scaling_efficiency"):
+        from . import multihost
+
+        return getattr(multihost, name)
+    raise AttributeError(name)
+
+
+__all__ = ["make_mesh", "srcnn_y_tiled", "upscale_y_tiled", "srcnn_y_gspmd",
+           "initialize", "scaling_efficiency"]

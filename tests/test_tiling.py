@@ -105,3 +105,27 @@ def test_tiled_2d_with_data_axis(weights):
     mono = np.asarray(srcnn_y(y, weights))
     tiled = np.asarray(srcnn_y_tiled(y, weights, mesh))
     assert np.array_equal(mono, tiled)
+
+
+def test_gspmd_matches_monolithic_and_manual(weights, mesh24):
+    # two independent partitioners (XLA SPMD vs hand shard_map) vs monolith
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+    from srcnn_cpp_tpu.parallel import srcnn_y_tiled
+    from srcnn_cpp_tpu.parallel.gspmd import srcnn_y_gspmd
+
+    y = _rand_y((2, 64, 96), seed=12)
+    mono = np.asarray(srcnn_y(y, weights))
+    auto = np.asarray(srcnn_y_gspmd(y, weights, mesh24))
+    manual = np.asarray(srcnn_y_tiled(y, weights, mesh24))
+    assert np.array_equal(mono, auto)
+    assert np.array_equal(mono, manual)
+
+
+def test_gspmd_handles_indivisible_dims(weights, mesh24):
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+    from srcnn_cpp_tpu.parallel.gspmd import srcnn_y_gspmd
+
+    y = _rand_y((2, 61, 53), seed=13)  # nothing divides by the mesh
+    mono = np.asarray(srcnn_y(y, weights))
+    auto = np.asarray(srcnn_y_gspmd(y, weights, mesh24))
+    assert np.array_equal(mono, auto)
