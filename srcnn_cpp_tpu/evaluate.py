@@ -90,7 +90,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="srcnn-eval", description=__doc__)
     ap.add_argument("paths", nargs="+")
     ap.add_argument("--scale", type=float, default=2.0)
-    ap.add_argument("--kernel", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--kernel", default="xla", choices=["xla", "xla_split", "pallas"])
     ap.add_argument("--json", action="store_true", help="machine-readable")
     args = ap.parse_args(argv)
 

@@ -126,7 +126,7 @@ def main(argv=None) -> int:
     ap.add_argument("src", nargs="?")
     ap.add_argument("dst", nargs="?")
     ap.add_argument("--scale", type=float, default=2.0)
-    ap.add_argument("--kernel", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--kernel", default="pallas", choices=["xla", "xla_split", "pallas"])
     ap.add_argument("--synthetic", type=int, default=0,
                     help="benchmark N synthetic frames instead of a file")
     ap.add_argument("--size", default="1920x1080",

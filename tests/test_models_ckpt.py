@@ -82,3 +82,19 @@ def test_scaling_harness_smoke(weights):
                            device_counts=[1, 2], iters=1)
     assert set(r["mps"]) == {1, 2}
     assert r["efficiency"] is not None
+
+
+def test_nan_guard_and_check_finite(weights):
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from srcnn_cpp_tpu.utils.debug import EXIT_CODES, check_finite, nan_guard
+
+    check_finite(weights, "weights")  # pretrained checkpoint is finite
+    bad = {"a": np.array([1.0, np.nan])}
+    with _pytest.raises(FloatingPointError):
+        check_finite(bad, "bad")
+    assert EXIT_CODES["load_or_scale"] == 1
+    with nan_guard():
+        # finite computation passes through the guard untouched
+        assert float(jnp.sum(jnp.ones(4))) == 4.0
