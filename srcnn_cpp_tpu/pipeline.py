@@ -108,8 +108,9 @@ def process_srcnn(buf, w: int, h: int, d: int, scale: float,
     harness (reference src/test.cpp:345-361): interleaved uint8 pixels in,
     ``(out_buffer, out_size)`` out, with ``out_size == floor(w*scale) *
     floor(h*scale) * d``.  ``d`` may be 1 (single plane, super-resolved
-    directly) or 3 (RGB interleaved, converted through YCrCb like the main
-    binary).
+    directly), 3 (RGB, converted through YCrCb like the main binary) or 4
+    (RGBA: color super-resolved, alpha bicubic — test.cpp's convImage
+    normalizes RGBA to RGB before calling; here alpha is carried through).
     """
     weights = weights if weights is not None else load_weights()
     img = np.asarray(buf, dtype=np.uint8).reshape(h, w, d) if d > 1 else \
@@ -118,10 +119,15 @@ def process_srcnn(buf, w: int, h: int, d: int, scale: float,
     if d == 1:
         out = np.asarray(_upscale_plane_jit(jnp.asarray(img), weights,
                                             (oh, ow), kernel))
-    elif d == 3:
-        bgr = img[..., ::-1]
-        out = np.asarray(upscale_bgr(bgr, scale, weights, kernel))[..., ::-1]
+    elif d in (3, 4):
+        bgr = img[..., 2::-1]
+        sr = np.asarray(upscale_bgr(bgr, scale, weights, kernel))[..., ::-1]
+        if d == 4:
+            alpha = np.asarray(resize_bicubic_u8(img[..., 3], (oh, ow)))
+            out = np.concatenate([sr, alpha[..., None]], axis=-1)
+        else:
+            out = sr
     else:
-        raise ValueError(f"unsupported depth {d}; expected 1 or 3")
+        raise ValueError(f"unsupported depth {d}; expected 1, 3 or 4")
     flat = np.ascontiguousarray(out).reshape(-1)
     return flat, flat.size

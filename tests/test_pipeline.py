@@ -85,3 +85,20 @@ def test_matches_oracle_on_arbitrary_size():
     ref = pipeline_ref(img, 2.0)
     assert out.shape == ref.shape
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_process_srcnn_rgba():
+    from srcnn_cpp_tpu.pipeline import process_srcnn
+
+    rng = np.random.default_rng(2)
+    h, w = 16, 20
+    buf = rng.integers(0, 256, h * w * 4, dtype=np.uint8)
+    out, n = process_srcnn(buf, w, h, 4, 2.0)
+    assert n == (2 * w) * (2 * h) * 4
+    rgba = out.reshape(2 * h, 2 * w, 4)
+    # alpha is plain bicubic of the alpha plane
+    from srcnn_cpp_tpu.ops.resize_tables import resize_bicubic_u8_np
+
+    a_ref = resize_bicubic_u8_np(
+        buf.reshape(h, w, 4)[..., 3], (2 * h, 2 * w))
+    assert np.array_equal(rgba[..., 3], a_ref)
