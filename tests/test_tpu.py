@@ -1,0 +1,64 @@
+"""Opt-in REAL-TPU validation (skipped in the hermetic CPU suite).
+
+Run with:  SRCNN_TPU_TESTS=1 python -m pytest tests/test_tpu.py -q
+(from a shell whose environment exposes the TPU backend — do not set
+JAX_PLATFORMS=cpu; this module bypasses conftest's CPU forcing by spawning
+a fresh interpreter.)
+
+These duplicate the key golden gates on hardware: the same pallas/XLA
+kernels that the CPU suite checks in interpret mode have genuinely
+different lowerings on the chip (Mosaic vs interpreter, MXU split-precision
+vs CPU fp32), so ≤1-LSB agreement must be re-established there.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SRCNN_TPU_TESTS") != "1",
+    reason="set SRCNN_TPU_TESTS=1 (and provide a TPU) to run")
+
+_SCRIPT = r"""
+import numpy as np, json
+from srcnn_cpp_tpu.runtime import enable_compilation_cache
+enable_compilation_cache()
+from srcnn_cpp_tpu.weights import load_weights
+from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+from srcnn_cpp_tpu.ops.pallas_srcnn import srcnn_y_fused
+from srcnn_cpp_tpu.imageio import imread_bgr
+from srcnn_cpp_tpu.pipeline import upscale_bgr
+
+w = load_weights()
+res = {}
+y = np.random.default_rng(0).integers(0, 256, (128, 256), dtype=np.uint8)
+d = np.abs(np.asarray(srcnn_y(y, w)).astype(int)
+           - np.asarray(srcnn_y_fused(y, w)).astype(int))
+res["pallas_vs_xla_max_lsb"] = int(d.max())
+
+bgr = imread_bgr("/root/reference/Pictures/butterfly.png")
+ref = imread_bgr("tests/golden/butterfly_x1.5_ref.png")
+out = np.asarray(upscale_bgr(bgr, 1.5))
+d2 = np.abs(out.astype(int) - ref.astype(int))
+res["pipeline_vs_binary_max_lsb"] = int(d2.max())
+res["pipeline_vs_binary_frac"] = float((d2 > 0).mean())
+print("RESULT " + json.dumps(res))
+"""
+
+
+def test_tpu_golden_gates():
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    proc = subprocess.run([sys.executable, "-c", _SCRIPT],
+                          capture_output=True, text=True, timeout=1200,
+                          env=env, cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+    assert line, proc.stdout[-2000:]
+    res = json.loads(line[-1][len("RESULT "):])
+    assert res["pallas_vs_xla_max_lsb"] <= 1
+    assert res["pipeline_vs_binary_max_lsb"] <= 2
+    assert res["pipeline_vs_binary_frac"] < 0.01
