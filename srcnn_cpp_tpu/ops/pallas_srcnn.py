@@ -183,11 +183,13 @@ def _fused_call(y_pad, packed, th: int, tw: int):
 def _pick_tiles(h: int, w: int) -> tuple[int, int]:
     """Tile sizes: th rows x tw cols per program, VMEM-bounded.
 
-    (16, 768) won an on-device sweep at 4K (166 MP/s vs 80 for (8, 512));
-    narrower images just round W up to a lane multiple.
+    On-device sweeps at 4K: (8,512) 80 MP/s -> (16,768) 144-166 ->
+    (16,640)/(24,640) ~151-157, all within run-to-run noise of each other;
+    (16, 640) wins the tiebreak because 640 divides the common widths
+    (1280/1920/3840) exactly, eliminating width alignment padding.
     """
     th = 16
-    tw = 768
+    tw = 640
     if w <= tw:
         tw = max(128, ((w + 127) // 128) * 128)
     return th, tw
