@@ -41,6 +41,11 @@ def scaling_efficiency(weights, image_hw=(256, 256), batch: int = 4,
     largest count vs single-device.  Uses row-sharding only (data=1) so the
     measurement stresses the halo-exchange path, the part whose scaling is
     nontrivial.
+
+    NOTE: on virtual CPU devices (CI) every mesh element shares one
+    physical machine, so throughput saturates regardless of n — that mode
+    validates the harness plumbing, not hardware scaling; the >=0.9
+    efficiency target is meaningful only on a real multi-chip slice.
     """
     import jax
 
