@@ -18,8 +18,14 @@ invocation matches):
   (first run includes XLA compilation, as noted in the narration).
 
 Exit codes map the reference's negative codes onto the POSIX-positive
-equivalents: 1 = load/scale failure (ref -1), 2 = colorspace failure (ref
--2), 3 = split failure (ref -3), 10 = empty output (ref -10).
+equivalents (utils.debug.EXIT_CODES): 1 = load/scale failure (ref -1),
+2 = colorspace failure (ref -2, here: decoded image is not 3-channel BGR),
+3 = split/merge failure (ref -3, here: pipeline output is not 3-channel),
+10 = empty output (ref -10).  Deviations from the reference surface,
+documented: unknown ``--flags`` are rejected with usage (the reference
+treats them as a source filename and then fails the load, srcnn.cpp:382);
+a malformed value for an extension flag (``--repeat``, ``--kernel``,
+``--resize``) is an error rather than silently ignored.
 """
 
 from __future__ import annotations
@@ -60,8 +66,22 @@ def print_help(file=sys.stdout) -> None:
     print("  --help             this message", file=file)
 
 
+KERNELS = ("pallas", "xla", "xla_split")
+RESIZE_MODES = ("exact", "fast")
+
+
+class UsageError(ValueError):
+    """Malformed command line (bad flag value or unknown flag)."""
+
+
 def parse_args(argv: list[str]):
-    """argv (no program name) -> dict of options, or None after --help."""
+    """argv (no program name) -> dict of options, or None after --help.
+
+    Raises :class:`UsageError` for unknown ``--flags`` and malformed values
+    of the extension flags.  ``--scale=`` keeps the reference's lenient
+    semantics (non-positive/unparsable values fall back to the default,
+    srcnn.cpp:359-370).
+    """
     opts = {
         "scale": 2.0,
         "verbose": True,
@@ -82,16 +102,30 @@ def parse_args(argv: list[str]):
         elif arg == "--noverbose":
             opts["verbose"] = False
         elif arg.startswith("--kernel="):
-            opts["kernel"] = arg.split("=", 1)[1]
+            v = arg.split("=", 1)[1]
+            if v not in KERNELS:
+                raise UsageError(f"unknown kernel {v!r} (choose from "
+                                 f"{', '.join(KERNELS)})")
+            opts["kernel"] = v
         elif arg.startswith("--resize="):
-            opts["resize"] = arg.split("=", 1)[1]
+            v = arg.split("=", 1)[1]
+            if v not in RESIZE_MODES:
+                raise UsageError(f"unknown resize mode {v!r} (choose from "
+                                 f"{', '.join(RESIZE_MODES)})")
+            opts["resize"] = v
         elif arg.startswith("--repeat="):
-            opts["repeat"] = max(1, int(arg.split("=", 1)[1]))
+            v = arg.split("=", 1)[1]
+            try:
+                opts["repeat"] = max(1, int(v))
+            except ValueError:
+                raise UsageError(f"--repeat expects an integer, got {v!r}")
         elif arg == "--help":
             return None
-        elif not arg.startswith("--") and opts["src"] is None:
+        elif arg.startswith("--"):
+            raise UsageError(f"unknown option {arg!r}")
+        elif opts["src"] is None:
             opts["src"] = arg
-        elif not arg.startswith("--") and opts["dst"] is None:
+        elif opts["dst"] is None:
             opts["dst"] = arg
     if opts["src"] and not opts["dst"]:
         p = Path(opts["src"])
@@ -106,12 +140,20 @@ def run(opts) -> int:
         if verbose:
             print(msg, flush=True)
 
+    from .utils.debug import EXIT_CODES
+
     src, dst = opts["src"], opts["dst"]
     say(f"- Loading image : {src}")
     img = imread_bgr(src)
     if img is None:
         print(f"{_PROG}: cannot load image {src!r}", file=sys.stderr)
-        return 1
+        return EXIT_CODES["load_or_scale"]
+    if img.ndim != 3 or img.shape[2] != 3:
+        # the BGR->YCrCb stage needs 3 channels (reference cvtColor failure,
+        # srcnn.cpp:509-526 -> exit -2)
+        print(f"{_PROG}: cannot convert colorspace of "
+              f"{img.shape}-shaped image", file=sys.stderr)
+        return EXIT_CODES["colorspace"]
     h, w = img.shape[:2]
     say(f"- Image size : {w}x{h}")
     say(f"- Scale : {opts['scale']:g}, kernel : {opts['kernel']}")
@@ -135,7 +177,13 @@ def run(opts) -> int:
         best_ms = t.ms if best_ms is None else min(best_ms, t.ms)
     if out_np.size == 0:
         print(f"{_PROG}: empty output", file=sys.stderr)
-        return 10
+        return EXIT_CODES["empty_output"]
+    if out_np.ndim != 3 or out_np.shape[2] != 3:
+        # merge produced the wrong plane count (reference split/merge
+        # failure, srcnn.cpp:540-555 -> exit -3)
+        print(f"{_PROG}: merge failure: output shape {out_np.shape}",
+              file=sys.stderr)
+        return EXIT_CODES["split"]
     oh, ow = out_np.shape[:2]
     say(f"- Output size : {ow}x{oh}")
     if opts["repeat"] > 1:
@@ -145,20 +193,27 @@ def run(opts) -> int:
     say(f"- Writing : {dst}")
     if not imwrite_bgr(dst, out_np):
         print(f"{_PROG}: cannot write {dst!r}", file=sys.stderr)
-        return 10
+        return EXIT_CODES["empty_output"]
     say("- Done.")
     return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    opts = parse_args(argv)
+    try:
+        opts = parse_args(argv)
+    except UsageError as e:
+        print(f"{_PROG}: {e}", file=sys.stderr)
+        print_help(file=sys.stderr)
+        return 1
     verbose = opts is None or opts["verbose"]
     if verbose:
         print_title()
     if opts is None or opts["src"] is None:
         print_help()
-        return 0 if opts is None else 1
+        # bare/helpful invocations exit 0 like the reference binary
+        # (srcnn.cpp:711-715); only a genuinely malformed line exits 1
+        return 0
     return run(opts)
 
 

@@ -42,7 +42,7 @@ def _collect(paths) -> list[Path]:
 
 
 def evaluate_image(bgr: np.ndarray, scale: float, weights=None,
-                   kernel: str = "xla") -> dict:
+                   kernel: str = "pallas") -> dict:
     """One image through the Resize.m protocol; returns Y-channel metrics."""
     from .pipeline import upscale_bgr
 
@@ -90,7 +90,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="srcnn-eval", description=__doc__)
     ap.add_argument("paths", nargs="+")
     ap.add_argument("--scale", type=float, default=2.0)
-    ap.add_argument("--kernel", default="xla", choices=["xla", "xla_split", "pallas"])
+    # default matches the CLI's production default (cli.parse_args), so the
+    # numbers recorded by the harness are the numbers the shipped path makes
+    ap.add_argument("--kernel", default="pallas",
+                    choices=["xla", "xla_split", "pallas"])
     ap.add_argument("--json", action="store_true", help="machine-readable")
     args = ap.parse_args(argv)
 

@@ -20,6 +20,7 @@ from pathlib import Path
 import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SRC = _NATIVE_DIR / "srcnn_host.cpp"
 _SO = _NATIVE_DIR / "build" / "libsrcnn_host.so"
 
 FILTERS = {"box": 0, "bilinear": 1, "mitchell": 2, "catmull_rom": 3,
@@ -37,14 +38,29 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than the C++ source."""
+    try:
+        return (not _SO.exists()
+                or (_SRC.exists()
+                    and _SO.stat().st_mtime < _SRC.stat().st_mtime))
+    except OSError:
+        return True
+
+
 def load(build: bool = True):
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (rebuilding when stale) the native library; None if unavailable."""
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() and (not build or not _build()):
+    if _stale() and build:
+        _build()
+    if not _SO.exists():
         return None
-    lib = ctypes.CDLL(str(_SO))
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:  # wrong arch / corrupt artifact: fall back to Python
+        return None
     lib.srcnn_host_tick_ms.restype = ctypes.c_double
     lib.srcnn_host_version.restype = ctypes.c_int
     lib.srcnn_host_resize_cubic_u8.restype = ctypes.c_int

@@ -163,7 +163,7 @@ def _fused_call(y_pad, packed, th: int, tw: int):
         functools.partial(_kernel, th=th, tw=tw),
         grid=(gh, gw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # padded plane, HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # padded plane, HBM
             *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         ],
         out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),

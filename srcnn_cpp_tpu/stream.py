@@ -71,7 +71,9 @@ def run_synthetic(n: int, size: tuple[int, int], scale: float,
     for _ in up.drain():
         done += 1
     dt = time.monotonic() - t0
-    oh, ow = int(h * scale), int(w * scale)
+    from .ops.resize import scaled_size
+
+    ow, oh = scaled_size(w, h, scale)   # float32-floor rule (srcnn.cpp:573-575)
     mp = done * oh * ow / 1e6
     return {"frames": done, "seconds": dt, "fps": done / dt, "mps": mp / dt}
 

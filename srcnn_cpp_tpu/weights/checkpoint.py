@@ -46,46 +46,75 @@ def load_orbax(path) -> SRCNNWeights:
 def export_convdata_header(path, weights: SRCNNWeights) -> None:
     """Write weights as a convdata.h-layout C header (reference interop).
 
-    Emits the same symbols the reference compiles in (convdata.h:19-1176):
-    biases_conv1/weights_conv1_data/... with the 9-5-5 64/32 shapes.
+    Emits the reference's exact typedef names and array shapes
+    (convdata.h:4-16) — ``ConvKernel64_99[64][9][9]``,
+    ``ConvKernel32x64[32][64]``, ``ConvKernel32_55[32][5][5]`` — with
+    nested-brace initializers, so the exported header drop-in replaces
+    convdata.h in a reference build (the conv kernels index
+    ``kernel[fc][i][j]``, srcnn.cpp:297,316,229).
     """
     w = weights
-    c1w = np.asarray(w.conv1_w, np.float32).reshape(64, 81)
+    c1w = np.asarray(w.conv1_w, np.float32).reshape(64, 9, 9)
     c2w = np.asarray(w.conv2_w, np.float32).reshape(32, 64)
-    c3w = np.asarray(w.conv3_w, np.float32).reshape(32, 25)
+    c3w = np.asarray(w.conv3_w, np.float32).reshape(32, 5, 5)
 
-    def fmt_block(rows):
+    def fmt(v):
+        # shortest decimal that round-trips the float32 value, always with
+        # a decimal point/exponent so the `f` suffix stays a valid literal
+        s = np.format_float_positional(np.float32(v), unique=True, trim="0")
+        if "." not in s and "e" not in s:
+            s += ".0"
+        return s + "f"
+
+    def fmt_vec(row, indent):
+        return indent + "{ " + ", ".join(fmt(v) for v in row) + " }"
+
+    def fmt_2d(rows, indent="    "):
+        return ",\n".join(fmt_vec(r, indent) for r in rows)
+
+    def fmt_3d(blocks):
         return ",\n".join(
-            "    { " + ", ".join(f"{v:.6g}f" for v in row) + " }"
-            for row in rows)
+            "    {\n" + fmt_2d(b, "        ") + "\n    }" for b in blocks)
 
-    # declaration style matches the reference (typedef'd array types with
-    # the symbol directly followed by `=`, convdata.h:19,32)
     lines = [
         "/* Auto-exported SRCNN 9-5-5 checkpoint (srcnn_cpp_tpu). */",
-        "#define CONV1_FILTERS 64",
-        "#define CONV2_FILTERS 32",
+        "#ifndef __CONVDATA_H__",
+        "#define __CONVDATA_H__",
+        "",
+        "#define CONV1_FILTERS       64",
+        "#define CONV2_FILTERS       32",
+        "",
+        "typedef float KernelMat99[9][9];",
+        "typedef float ConvKernel64_99[CONV1_FILTERS][9][9];",
+        "typedef float ConvKernel32x64[CONV2_FILTERS][CONV1_FILTERS];",
+        "typedef float ConvKernel32_55[CONV2_FILTERS][5][5];",
         "typedef float ConvKernel1[CONV1_FILTERS];",
-        "typedef float ConvKernel64_99[CONV1_FILTERS][81];",
         "typedef float ConvKernel2[CONV2_FILTERS];",
-        "typedef float ConvKernel32_64[CONV2_FILTERS][64];",
-        "typedef float ConvKernel32_55[CONV2_FILTERS][25];",
+        "typedef float ConvKernel21[CONV2_FILTERS][CONV1_FILTERS];",
+        "",
         "const ConvKernel1 biases_conv1 = {",
-        "    " + ", ".join(f"{v:.6g}f" for v in np.asarray(w.conv1_b)),
+        "    " + ", ".join(fmt(v) for v in np.asarray(w.conv1_b)),
         "};",
+        "",
         "const ConvKernel64_99 weights_conv1_data = {",
-        fmt_block(c1w),
+        fmt_3d(c1w),
         "};",
+        "",
         "const ConvKernel2 biases_conv2 = {",
-        "    " + ", ".join(f"{v:.6g}f" for v in np.asarray(w.conv2_b)),
+        "    " + ", ".join(fmt(v) for v in np.asarray(w.conv2_b)),
         "};",
-        "const ConvKernel32_64 weights_conv2_data = {",
-        fmt_block(c2w),
+        "",
+        "const ConvKernel32x64 weights_conv2_data = {",
+        fmt_2d(c2w),
         "};",
-        f"const float biases_conv3 = {float(np.asarray(w.conv3_b)[0]):.6g}f;",
+        "",
+        f"const float biases_conv3 = {fmt(np.asarray(w.conv3_b).ravel()[0])};",
+        "",
         "const ConvKernel32_55 weights_conv3_data = {",
-        fmt_block(c3w),
+        fmt_3d(c3w),
         "};",
+        "",
+        "#endif",
         "",
     ]
     Path(path).write_text("\n".join(lines))

@@ -40,10 +40,66 @@ def test_help_returns_none():
     assert parse_args(["--help"]) is None
 
 
-def test_missing_src_is_error():
+def test_missing_src_exits_zero():
+    # the reference prints title+help and returns 0 when parseArgs fails
+    # (srcnn.cpp:709-715) — bare/`--noverbose`-only invocations match that
     from srcnn_cpp_tpu.cli import main
 
-    assert main(["--noverbose"]) == 1
+    assert main(["--noverbose"]) == 0
+
+
+def test_unknown_flag_rejected(capsys):
+    from srcnn_cpp_tpu.cli import UsageError, main
+
+    with pytest.raises(UsageError):
+        parse_args(["--bogus", "a.png"])
+    assert main(["--bogus", "a.png"]) == 1
+    assert "unknown option" in capsys.readouterr().err
+
+
+def test_malformed_extension_flag_values(capsys):
+    from srcnn_cpp_tpu.cli import UsageError, main
+
+    for argv in (["--repeat=abc", "a.png"],
+                 ["--kernel=cuda", "a.png"],
+                 ["--resize=nearest", "a.png"]):
+        with pytest.raises(UsageError):
+            parse_args(argv)
+        assert main(argv) == 1
+    assert parse_args(["--repeat=3", "a.png"])["repeat"] == 3
+    assert parse_args(["--repeat=0", "a.png"])["repeat"] == 1
+
+
+def test_exit_code_colorspace(monkeypatch, capsys):
+    # a decoded image that is not 3-channel maps to the reference's
+    # cvtColor failure code (-2 -> 2, srcnn.cpp:509-526)
+    import srcnn_cpp_tpu.cli as cli
+
+    monkeypatch.setattr(cli, "imread_bgr",
+                        lambda p: np.zeros((8, 8), np.uint8))
+    opts = parse_args(["--noverbose", "gray.png"])
+    assert cli.run(opts) == 2
+
+
+def test_exit_code_split(monkeypatch):
+    # wrong output plane count maps to the split/merge failure (-3 -> 3)
+    import srcnn_cpp_tpu.cli as cli
+
+    monkeypatch.setattr(cli, "imread_bgr",
+                        lambda p: np.zeros((8, 8, 3), np.uint8))
+    monkeypatch.setattr(cli, "upscale_bgr",
+                        lambda *a, **k: np.zeros((16, 16, 2), np.uint8))
+    monkeypatch.setattr(cli, "load_weights", lambda: None)
+    opts = parse_args(["--noverbose", "in.png"])
+    assert cli.run(opts) == 3
+
+
+def test_exit_code_load_failure(monkeypatch):
+    import srcnn_cpp_tpu.cli as cli
+
+    monkeypatch.setattr(cli, "imread_bgr", lambda p: None)
+    opts = parse_args(["--noverbose", "missing.png"])
+    assert cli.run(opts) == 1
 
 
 @pytest.mark.slow

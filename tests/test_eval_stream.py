@@ -62,3 +62,29 @@ def test_stream_synthetic_benchmark(weights):
     r = run_synthetic(4, (32, 32), 2.0, "xla")
     assert r["frames"] == 4
     assert r["fps"] > 0
+
+
+def test_stream_synthetic_uses_float_floor_geometry(weights):
+    # the MP/s denominator must follow scaled_size's float32-floor rule
+    # (srcnn.cpp:573-575), not int(h*scale): at 30x30 x2.1 they differ
+    # (float32 30*2.1 = 62.999996 -> 62, double -> 63)
+    from srcnn_cpp_tpu.ops.resize import scaled_size
+    from srcnn_cpp_tpu.stream import run_synthetic
+
+    h = w = 30
+    ow, oh = scaled_size(w, h, 2.1)
+    assert (oh, ow) == (62, 62) != (int(h * 2.1), int(w * 2.1))
+    r = run_synthetic(2, (h, w), 2.1, "xla")
+    mp_per_frame = r["mps"] * r["seconds"] / r["frames"]
+    assert mp_per_frame == pytest.approx(oh * ow / 1e6, rel=1e-9)
+
+
+def test_evaluate_default_kernel_matches_cli_default():
+    import inspect
+
+    from srcnn_cpp_tpu.cli import parse_args
+    from srcnn_cpp_tpu.evaluate import evaluate_image
+
+    cli_default = parse_args(["x.png"])["kernel"]
+    eval_default = inspect.signature(evaluate_image).parameters["kernel"].default
+    assert eval_default == cli_default

@@ -61,6 +61,48 @@ def test_convdata_header_export_reparses(tmp_path, weights):
                                    rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+def test_convdata_header_export_compiles_against_reference_shapes(
+        tmp_path, weights):
+    """The exported header must satisfy the reference's type contract.
+
+    The reference kernels consume the arrays through the convdata.h
+    typedefs (ConvKernel64_99[64][9][9] etc., reference convdata.h:10-16;
+    call sites srcnn.cpp:609,627) — compile a consumer with those exact
+    signatures against the export to prove drop-in compatibility.
+    """
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ unavailable")
+    from srcnn_cpp_tpu.weights.checkpoint import export_convdata_header
+
+    export_convdata_header(tmp_path / "convdata.h", weights)
+    consumer = tmp_path / "consumer.cpp"
+    consumer.write_text(
+        '#include "convdata.h"\n'
+        "static_assert(sizeof(weights_conv1_data) == 64*9*9*sizeof(float));\n"
+        "static_assert(sizeof(weights_conv2_data) == 32*64*sizeof(float));\n"
+        "static_assert(sizeof(weights_conv3_data) == 32*5*5*sizeof(float));\n"
+        "static_assert(sizeof(biases_conv1) == 64*sizeof(float));\n"
+        "static_assert(sizeof(biases_conv2) == 32*sizeof(float));\n"
+        "// reference kernel signatures (srcnn.cpp Convolution99x11/55)\n"
+        "static void c99x11(const ConvKernel64_99 k99, const ConvKernel1 b1,\n"
+        "                   const ConvKernel32x64 k11, const ConvKernel2 b2) {\n"
+        "  (void)k99[63][8][8]; (void)b1[63]; (void)k11[31][63]; (void)b2[31];\n"
+        "}\n"
+        "static void c55(const ConvKernel32_55 k, float b) {\n"
+        "  (void)k[31][4][4]; (void)b;\n"
+        "}\n"
+        "int main() { c99x11(weights_conv1_data, biases_conv1,\n"
+        "                    weights_conv2_data, biases_conv2);\n"
+        "             c55(weights_conv3_data, biases_conv3); return 0; }\n")
+    proc = subprocess.run(
+        ["g++", "-fsyntax-only", "-std=c++17", str(consumer)],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+
+
 def test_stage_timer_and_throughput():
     from srcnn_cpp_tpu.utils.profiling import StageTimer, throughput
 
