@@ -39,6 +39,42 @@ def sniff_format(path: str | Path) -> str | None:
     return None
 
 
+def conv_image(buf, w: int, h: int, d: int) -> np.ndarray:
+    """Normalize an interleaved pixel buffer to 3-channel RGB uint8 [H,W,3].
+
+    Mirrors the reference harness's ``convImage`` (reference
+    src/test.cpp:34-134), the front-end that feeds ``ProcessSRCNN``:
+
+    * ``d=1``  gray: replicated into R=G=B (test.cpp:47-60);
+    * ``d=2``  RGB565 (native-u16): fields extracted as R=(px&0xF800)>>11,
+      G=(px&0x07E0)>>5, B=px&0x001F — the reference does NOT expand them
+      to 8-bit range (test.cpp:71-83), and that quirk is preserved;
+    * ``d=3``  passed through (test.cpp:121-128 ``copy()``);
+    * ``d=4``  RGBA: alpha-premultiplied RGB, alpha dropped, float->u8 by
+      C-cast truncation (test.cpp:95-108 intent; the reference's
+      ``unsigned short*`` cast there mis-indexes an RGBA8 buffer — a bug
+      not reproduced, like frawscale's sizeof(short) memcpy).
+    """
+    a = np.frombuffer(np.ascontiguousarray(buf), dtype=np.uint8) \
+        if d != 2 else np.frombuffer(np.ascontiguousarray(buf), dtype="<u2")
+    if d == 1:
+        px = a.reshape(h, w)
+        return np.repeat(px[..., None], 3, axis=-1)
+    if d == 2:
+        px = a.reshape(h, w).astype(np.uint16)
+        r = ((px & 0xF800) >> 11).astype(np.uint8)
+        g = ((px & 0x07E0) >> 5).astype(np.uint8)
+        b = (px & 0x001F).astype(np.uint8)
+        return np.stack([r, g, b], axis=-1)
+    if d == 3:
+        return a.reshape(h, w, 3).copy()
+    if d == 4:
+        px = a.reshape(h, w, 4)
+        alp = px[..., 3:4].astype(np.float32) / 255.0
+        return (px[..., :3].astype(np.float32) * alp).astype(np.uint8)
+    raise ValueError(f"unsupported depth {d}; expected 1, 2, 3 or 4")
+
+
 def imread_bgr(path: str | Path) -> np.ndarray | None:
     """Decode an image file to BGR uint8 [H, W, 3]; None on failure."""
     path = str(path)

@@ -108,13 +108,22 @@ def process_srcnn(buf, w: int, h: int, d: int, scale: float,
     harness (reference src/test.cpp:345-361): interleaved uint8 pixels in,
     ``(out_buffer, out_size)`` out, with ``out_size == floor(w*scale) *
     floor(h*scale) * d``.  ``d`` may be 1 (single plane, super-resolved
-    directly), 3 (RGB, converted through YCrCb like the main binary) or 4
-    (RGBA: color super-resolved, alpha bicubic — test.cpp's convImage
-    normalizes RGBA to RGB before calling; here alpha is carried through).
+    directly), 2 (RGB565: normalized to RGB via the convImage front-end,
+    imageio.conv_image, and returned as 3-channel — matching the reference
+    harness, which converts before calling ProcessSRCNN, test.cpp:328),
+    3 (RGB, converted through YCrCb like the main binary) or 4 (RGBA:
+    color super-resolved, alpha bicubic — test.cpp's convImage normalizes
+    RGBA to RGB before calling; here alpha is carried through).
     """
     weights = weights if weights is not None else load_weights()
-    img = np.asarray(buf, dtype=np.uint8).reshape(h, w, d) if d > 1 else \
-        np.asarray(buf, dtype=np.uint8).reshape(h, w)
+    if d == 2:
+        from .imageio import conv_image
+
+        img = conv_image(buf, w, h, 2)
+        d = 3
+    else:
+        img = np.asarray(buf, dtype=np.uint8).reshape(h, w, d) if d > 1 else \
+            np.asarray(buf, dtype=np.uint8).reshape(h, w)
     ow, oh = scaled_size(w, h, scale)
     if d == 1:
         out = np.asarray(_upscale_plane_jit(jnp.asarray(img), weights,
@@ -128,6 +137,6 @@ def process_srcnn(buf, w: int, h: int, d: int, scale: float,
         else:
             out = sr
     else:
-        raise ValueError(f"unsupported depth {d}; expected 1, 3 or 4")
+        raise ValueError(f"unsupported depth {d}; expected 1, 2, 3 or 4")
     flat = np.ascontiguousarray(out).reshape(-1)
     return flat, flat.size

@@ -87,6 +87,59 @@ def test_matches_oracle_on_arbitrary_size():
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
 
 
+def test_conv_image_normalization_matches_reference():
+    """conv_image mirrors the reference harness's convImage cases
+    (reference src/test.cpp:34-134)."""
+    from srcnn_cpp_tpu.imageio import conv_image
+
+    rng = np.random.default_rng(3)
+    h, w = 5, 7
+    # d=1 gray -> R=G=B (test.cpp:47-60)
+    gray = rng.integers(0, 256, h * w, dtype=np.uint8)
+    rgb = conv_image(gray, w, h, 1)
+    assert rgb.shape == (h, w, 3)
+    assert all(np.array_equal(rgb[..., c], gray.reshape(h, w)) for c in range(3))
+
+    # d=2 RGB565 -> raw field extraction, NO 8-bit expansion (test.cpp:71-83)
+    px = rng.integers(0, 1 << 16, h * w, dtype=np.uint16)
+    rgb = conv_image(px.view(np.uint8), w, h, 2)
+    v = px.reshape(h, w)
+    assert np.array_equal(rgb[..., 0], (v & 0xF800) >> 11)
+    assert np.array_equal(rgb[..., 1], (v & 0x07E0) >> 5)
+    assert np.array_equal(rgb[..., 2], v & 0x001F)
+    assert rgb[..., 0].max() <= 31 and rgb[..., 1].max() <= 63
+
+    # d=3 -> copy (test.cpp:121-128)
+    tri = rng.integers(0, 256, h * w * 3, dtype=np.uint8)
+    assert np.array_equal(conv_image(tri, w, h, 3).reshape(-1), tri)
+
+    # d=4 RGBA -> alpha-premultiplied, truncating float->u8 (test.cpp:95-108)
+    quad = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    rgb = conv_image(quad.reshape(-1), w, h, 4)
+    alp = quad[..., 3:4].astype(np.float32) / 255.0
+    want = (quad[..., :3].astype(np.float32) * alp).astype(np.uint8)
+    assert np.array_equal(rgb, want)
+
+    with pytest.raises(ValueError):
+        conv_image(tri, w, h, 5)
+
+
+def test_process_srcnn_rgb565():
+    # the reference harness feeds ProcessSRCNN through convImage; depth-2
+    # buffers are accepted directly and come back 3-channel
+    from srcnn_cpp_tpu.imageio import conv_image
+    from srcnn_cpp_tpu.pipeline import process_srcnn
+
+    rng = np.random.default_rng(4)
+    h, w = 12, 10
+    px = rng.integers(0, 1 << 16, h * w, dtype=np.uint16)
+    out, n = process_srcnn(px.view(np.uint8), w, h, 2, 2.0)
+    assert n == (2 * w) * (2 * h) * 3
+    ref, m = process_srcnn(conv_image(px.view(np.uint8), w, h, 2).reshape(-1),
+                           w, h, 3, 2.0)
+    assert m == n and np.array_equal(out, ref)
+
+
 def test_process_srcnn_rgba():
     from srcnn_cpp_tpu.pipeline import process_srcnn
 
