@@ -46,20 +46,30 @@ def single_8k(weights: SRCNNWeights | None = None, mesh=None,
             from .pipeline import upscale_bgr
 
             return np.asarray(upscale_bgr(bgr, scale, weights))
-        # mesh path: bicubic + color on chip 0, conv tiled over the mesh
-        from .oracle import bgr2ycrcb_u8_ref, ycrcb2bgr_u8_ref
-        from .ops.resize import scaled_size
-        from .ops.resize_tables import resize_bicubic_u8_np
+        # mesh path: every stage on device — color + bicubic as one jitted
+        # program, the conv spatially tiled over the mesh with halo exchange
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        from .ops.color import bgr2ycrcb_u8_planar, ycrcb2bgr_u8_planar
+        from .ops.resize import resize_bicubic_u8, scaled_size
         from .parallel import upscale_y_tiled
+
+        @partial(jax.jit, static_argnames=("out_hw",))
+        def pre(planar, out_hw):
+            return resize_bicubic_u8(bgr2ycrcb_u8_planar(planar), out_hw)
+
+        post = jax.jit(ycrcb2bgr_u8_planar)
 
         h, w = bgr.shape[:2]
         ow, oh = scaled_size(w, h, scale)
-        ycc = bgr2ycrcb_u8_ref(bgr)
-        up = np.stack([resize_bicubic_u8_np(ycc[..., i], (oh, ow))
-                       for i in range(3)], axis=-1)
-        y_sr = upscale_y_tiled(up[..., 0], weights, mesh)
-        merged = np.stack([y_sr, up[..., 1], up[..., 2]], axis=-1)
-        return ycrcb2bgr_u8_ref(merged)
+        planar = jnp.asarray(
+            np.ascontiguousarray(np.moveaxis(np.asarray(bgr), -1, 0)))
+        up = pre(planar, (oh, ow))                       # [3, oh, ow] u8
+        y_sr = upscale_y_tiled(up[0], weights, mesh)
+        out = post(jnp.stack([y_sr, up[1], up[2]], axis=0))
+        return np.moveaxis(np.asarray(out), 0, -1)
 
     return run
 
@@ -70,3 +80,22 @@ def stream_4k30(weights: SRCNNWeights | None = None, scale: float = 2.0,
     from .stream import StreamUpscaler
 
     return StreamUpscaler(scale, weights=weights, kernel=kernel, depth=depth)
+
+
+def stream_4k30_distributed(mesh=None, weights: SRCNNWeights | None = None,
+                            scale: float = 2.0, depth: int = 2):
+    """Runner: the multi-host frame stream (BASELINE config 5).
+
+    Shards frames over the mesh's ``data`` axis and each frame's rows over
+    ``row`` with ppermute halo exchange; every process pushes its local
+    slab (parallel.DistributedStream.push_local).  Call
+    ``parallel.initialize()`` once per process first on a real multi-host
+    deployment.
+    """
+    from .parallel.distributed import DistributedStream, frame_mesh
+
+    if mesh is None:
+        import jax
+
+        mesh = frame_mesh(data=max(1, jax.process_count()))
+    return DistributedStream(scale, mesh, weights=weights, depth=depth)

@@ -9,6 +9,9 @@ The reference's only parallelism is OpenMP row-loops in one process
   the image-domain analogue of sequence/context parallelism.
 * batch data-parallelism falls out of the same mesh (batch axis sharded over
   the ``data`` axis).
+* :mod:`.distributed` — the multi-process runtime: ``jax.distributed``
+  initialization, per-process frame feed, and the pipelined
+  :class:`~.distributed.DistributedStream` over a (data, row) mesh.
 """
 
 from .mesh import make_mesh
@@ -20,12 +23,17 @@ def __getattr__(name):
         from .gspmd import srcnn_y_gspmd
 
         return srcnn_y_gspmd
-    if name in ("initialize", "scaling_efficiency"):
+    if name in ("DistributedStream", "frame_mesh", "initialize"):
+        from . import distributed
+
+        return getattr(distributed, name)
+    if name == "scaling_efficiency":
         from . import multihost
 
-        return getattr(multihost, name)
+        return multihost.scaling_efficiency
     raise AttributeError(name)
 
 
 __all__ = ["make_mesh", "srcnn_y_tiled", "upscale_y_tiled", "srcnn_y_gspmd",
-           "initialize", "scaling_efficiency"]
+           "initialize", "scaling_efficiency", "DistributedStream",
+           "frame_mesh"]

@@ -1,0 +1,310 @@
+"""Multi-process distributed frame-stream runtime (BASELINE config 5).
+
+The reference's only concurrency is one worker pthread wrapping the
+pipeline (reference src/srcnn.cpp:717-724); its TPU-native generalization
+is a *multi-process* frame stream: a ``(data, row)`` device mesh spanning
+N processes/hosts, where
+
+* whole frames shard over the ``data`` axis (independent work — the axis
+  that may cross DCN between hosts),
+* each frame's rows shard over the ``row`` axis and the conv stack's
+  receptive field is stitched with ``lax.ppermute`` halo exchange
+  (:mod:`.tiling` — the ICI-resident axis),
+* every pipeline stage (fixed-point color conversion, bit-exact bicubic,
+  conv1+2+3, merge, inverse color) runs on device inside ONE jitted
+  program per dispatch; several dispatches stay in flight so host feed
+  overlaps device compute (the stream analogue of
+  :class:`srcnn_cpp_tpu.stream.StreamUpscaler`).
+
+Per-process data feed uses ``jax.make_array_from_process_local_data``:
+each process contributes only the slab its devices own, so no host ever
+materializes traffic for another host's shard.  Launch one process per
+host with :func:`initialize` (``jax.distributed``), then push local slabs.
+
+The module doubles as the multi-process integration binary::
+
+    python -m srcnn_cpp_tpu.parallel.distributed \
+        --coordinator=127.0.0.1:9911 --num-processes=2 --process-id=K \
+        --local-devices=2 --frames=4 --size=96x64 --check
+
+``--check`` verifies every locally-owned output row range bit-exactly
+against the monolithic single-device pipeline (tests/test_distributed.py
+spawns two such processes on the CPU backend).
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+from ..weights import SRCNNWeights, load_weights
+from .mesh import make_mesh
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None,
+               local_device_count: int | None = None,
+               platform: str | None = None) -> None:
+    """Start this process's slice of the distributed runtime.
+
+    Must run before any JAX backend initialization.  ``platform``/
+    ``local_device_count`` pin the backend (e.g. ``cpu`` with N virtual
+    devices for hermetic multi-process tests); None leaves the
+    environment's choice (TPU pods configure themselves from env).
+    """
+    import jax
+
+    if platform is not None:
+        jax.config.update("jax_platforms", platform)
+    if local_device_count is not None:
+        jax.config.update("jax_num_cpu_devices", int(local_device_count))
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def frame_mesh(data: int | None = None, devices=None):
+    """(data, row) mesh over the global device list, process-major.
+
+    Device order is process-major, so ``data=jax.process_count()`` gives
+    each process whole frames (halos intra-process); ``data=1`` spans one
+    frame's rows across every process (halos cross the process boundary —
+    the configuration the bit-exactness test stresses).
+    """
+    return make_mesh(data=data, row=None, devices=devices)
+
+
+def _stream_step_fn():
+    """Build the jitted full-pipeline step lazily (imports jax on call)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.color import bgr2ycrcb_u8_planar, ycrcb2bgr_u8_planar
+    from ..ops.quantize import quantize_trunc_u8
+    from ..ops.resize import resize_bicubic_u8
+    from .tiling import _srcnn_rows_f32
+
+    @partial(jax.jit, static_argnames=("out_hw", "mesh"))
+    def step(bgr_p, weights, out_hw, mesh):
+        """Planar BGR u8 [B,3,H,W] (data,row-sharded) -> [B,3,oh,ow]."""
+        spec = NamedSharding(mesh, P("data", None, "row", None))
+        ycc = bgr2ycrcb_u8_planar(bgr_p)          # elementwise: stays put
+        up = resize_bicubic_u8(ycc, out_hw)       # gathers: GSPMD comms
+        up = lax.with_sharding_constraint(up, spec)
+        conv = shard_map(
+            lambda w, x: quantize_trunc_u8(_srcnn_rows_f32(x, w)),
+            mesh=mesh,
+            in_specs=(P(), P("data", "row", None)),
+            out_specs=P("data", "row", None),
+        )
+        y_sr = conv(weights, up[:, 0])
+        merged = jnp.stack([y_sr, up[:, 1], up[:, 2]], axis=-3)
+        return lax.with_sharding_constraint(ycrcb2bgr_u8_planar(merged), spec)
+
+    return step
+
+
+def _local_bounds(sharding, shape, dims=(0, 2)):
+    """(start, stop) of this process's owned block along ``dims``."""
+    idx_map = sharding.addressable_devices_indices_map(tuple(shape))
+    out = {}
+    for d in dims:
+        starts, stops = [], []
+        for idx in idx_map.values():
+            s = idx[d]
+            starts.append(s.start or 0)
+            stops.append(shape[d] if s.stop is None else s.stop)
+        out[d] = (min(starts), max(stops))
+    return out
+
+
+class DistributedStream:
+    """Pipelined multi-process frame upscaler over a ``(data, row)`` mesh.
+
+    ``push_local`` takes this process's slab of the global input batch —
+    planar BGR uint8 ``[B_local, 3, H_local, W]`` where ``B_local``/
+    ``H_local`` are the process's share of the ``data``/``row`` axes —
+    and returns a completed *output* slab once ``depth`` dispatches are
+    in flight (ordered, like stream.StreamUpscaler).
+    """
+
+    def __init__(self, scale: float, mesh, weights: SRCNNWeights | None = None,
+                 depth: int = 2):
+        import jax
+
+        self.scale = float(scale)
+        self.mesh = mesh
+        self.depth = int(depth)
+        self.weights = weights if weights is not None else load_weights()
+        self._q: collections.deque = collections.deque()
+        self._step = _stream_step_fn()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._in_spec = NamedSharding(mesh, P("data", None, "row", None))
+        ndata, nrow = mesh.shape["data"], mesh.shape["row"]
+        self._global_batch = None  # inferred on first push
+        self._axis_sizes = (ndata, nrow)
+
+    def push_local(self, local_bgr_p: np.ndarray):
+        import jax
+
+        from ..ops.resize import scaled_size
+
+        garr = jax.make_array_from_process_local_data(
+            self._in_spec, np.ascontiguousarray(local_bgr_p))
+        b, _, h, w = garr.shape
+        ow, oh = scaled_size(w, h, self.scale)
+        ndata, nrow = self._axis_sizes
+        if b % ndata or oh % nrow:
+            raise ValueError(f"global batch {b} / output height {oh} not "
+                             f"divisible by mesh {ndata}x{nrow}")
+        out = self._step(garr, self.weights, (oh, ow), self.mesh)
+        self._q.append(out)
+        if len(self._q) > self.depth:
+            return self._fetch(self._q.popleft())
+        return None
+
+    def drain(self):
+        while self._q:
+            yield self._fetch(self._q.popleft())
+
+    def _fetch(self, garr) -> np.ndarray:
+        """Assemble this process's contiguous local block of the output."""
+        shape = garr.shape
+        b = _local_bounds(garr.sharding, shape, dims=(0, 2))
+        (b0, b1), (r0, r1) = b[0], b[2]
+        out = np.empty((b1 - b0, shape[1], r1 - r0, shape[3]), garr.dtype)
+        for s in garr.addressable_shards:
+            idx = s.index
+            db = idx[0].start or 0
+            dr = idx[2].start or 0
+            blk = np.asarray(s.data)
+            out[db - b0: db - b0 + blk.shape[0], :,
+                dr - r0: dr - r0 + blk.shape[2], :] = blk
+        return out
+
+
+def run_synthetic(frames: int, size: tuple[int, int], scale: float, mesh,
+                  weights: SRCNNWeights | None = None, depth: int = 2,
+                  check: bool = False, seed: int = 0) -> dict:
+    """Per-process synthetic stream benchmark; optional bit-exact check.
+
+    Every process generates the same seeded global frames, feeds only its
+    local slab, and (with ``check``) compares its output block against the
+    monolithic single-device pipeline on the full frame.
+    """
+    import jax
+
+    from ..ops.resize import scaled_size
+    from ..pipeline import _upscale_planar_jit
+
+    weights = weights if weights is not None else load_weights()
+    h, w = size
+    ndata, nrow = mesh.shape["data"], mesh.shape["row"]
+    ow, oh = scaled_size(w, h, scale)
+    if h % nrow or oh % nrow:
+        raise ValueError(f"H {h} / output H {oh} must divide row axis {nrow}")
+    stream = DistributedStream(scale, mesh, weights, depth=depth)
+    in_b = _local_bounds(stream._in_spec, (ndata, 3, h, w), dims=(0, 2))
+    (ib0, ib1), (ir0, ir1) = in_b[0], in_b[2]
+
+    def global_frames(i):
+        rng = np.random.default_rng(seed + i)
+        return rng.integers(0, 256, (ndata, 3, h, w), dtype=np.uint8)
+
+    # warm-up/compile
+    g0 = global_frames(0)
+    out0 = stream.push_local(g0[ib0:ib1, :, ir0:ir1, :])
+    blocks = [out0] if out0 is not None else []
+    blocks += list(stream.drain())
+
+    t0 = time.monotonic()
+    outs = []
+    for i in range(frames):
+        r = stream.push_local(global_frames(i)[ib0:ib1, :, ir0:ir1, :])
+        if r is not None:
+            outs.append(r)
+    outs += list(stream.drain())
+    dt = time.monotonic() - t0
+
+    result = {
+        "process": jax.process_index(),
+        "processes": jax.process_count(),
+        "mesh": dict(mesh.shape),
+        "frames": frames * ndata,
+        "seconds": dt,
+        "fps": frames * ndata / dt,
+        "mps": frames * ndata * oh * ow / 1e6 / dt,
+    }
+    if check:
+        ok = True
+        worst = 0
+        for i, blk in enumerate(outs):
+            full = global_frames(i)
+            mono = np.asarray(_upscale_planar_jit(
+                full, weights, (oh, ow), "xla", "exact"))
+            ob = _local_bounds(stream._in_spec, (ndata, 3, oh, ow),
+                               dims=(0, 2))
+            (ob0, ob1), (or0, or1) = ob[0], ob[2]
+            want = mono[ob0:ob1, :, or0:or1, :]
+            diff = int(np.abs(blk.astype(int) - want.astype(int)).max())
+            worst = max(worst, diff)
+            ok = ok and diff == 0
+        result["bitexact"] = ok
+        result["max_abs_diff"] = worst
+    return result
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="srcnn-distributed",
+        description="multi-process distributed frame-stream runner")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--local-devices", type=int, default=None,
+                    help="virtual CPU devices per process")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu) before init")
+    ap.add_argument("--data", type=int, default=None,
+                    help="data-axis size (default: 1, rows span everything)")
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--size", default="96x64", help="frame WxH")
+    ap.add_argument("--scale", type=float, default=2.0)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--check", action="store_true",
+                    help="bit-exact check vs the monolithic pipeline")
+    args = ap.parse_args(argv)
+
+    initialize(coordinator_address=args.coordinator,
+               num_processes=args.num_processes,
+               process_id=args.process_id,
+               local_device_count=args.local_devices,
+               platform=args.platform)
+    import jax
+
+    mesh = frame_mesh(data=args.data or 1)
+    w, h = (int(t) for t in args.size.lower().split("x"))
+    r = run_synthetic(args.frames, (h, w), args.scale, mesh,
+                      depth=args.depth, check=args.check)
+    print(json.dumps(r), flush=True)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("srcnn-distributed-done")
+    jax.distributed.shutdown()
+    return 0 if (not args.check or r.get("bitexact")) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,12 +25,15 @@ from .tiling import srcnn_y_tiled
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """``jax.distributed.initialize`` wrapper (env-driven when args None)."""
-    import jax
+    """``jax.distributed.initialize`` wrapper (env-driven when args None).
 
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    Canonical implementation lives in :mod:`.distributed` (exercised by the
+    2-process integration tests, tests/test_distributed.py).
+    """
+    from .distributed import initialize as _init
+
+    _init(coordinator_address=coordinator_address,
+          num_processes=num_processes, process_id=process_id)
 
 
 def scaling_efficiency(weights, image_hw=(256, 256), batch: int = 4,

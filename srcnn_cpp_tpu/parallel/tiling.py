@@ -181,13 +181,14 @@ def upscale_y_tiled(y_u8, weights, mesh: Mesh):
     see computed (not clamped) f2 pad rows.  Those 2 rows are recomputed
     monolithically from a 16-row bottom strip and patched in, keeping the
     whole result bit-exact.
-    """
-    import numpy as np
 
+    All padding/cropping/patching is device-side jnp (no host round-trip):
+    a jax.Array input stays on device end to end.  Returns a jax.Array.
+    """
     from ..ops.srcnn import srcnn_y
 
     nrow = mesh.shape["row"]
-    y = np.asarray(y_u8)
+    y = jnp.asarray(y_u8)
     squeeze = y.ndim == 2
     if squeeze:
         y = y[None]
@@ -195,15 +196,16 @@ def upscale_y_tiled(y_u8, weights, mesh: Mesh):
     hpad = (-h) % nrow
     yp = y
     if hpad:
-        yp = np.concatenate([y, np.repeat(y[:, -1:, :], hpad, axis=1)], axis=1)
+        yp = jnp.concatenate(
+            [y, jnp.repeat(y[:, -1:, :], hpad, axis=1)], axis=1)
     ndata = mesh.shape["data"]
     bpad = (-b) % ndata
     if bpad:
-        yp = np.concatenate([yp, yp[:bpad]], axis=0)
-    out = np.array(srcnn_y_tiled(yp, weights, mesh))[:b, :h, :]
+        yp = jnp.concatenate([yp, yp[:bpad]], axis=0)
+    out = srcnn_y_tiled(yp, weights, mesh)[:b, :h, :]
     if hpad:
         strip = min(h, 16)
-        fix = np.asarray(srcnn_y(y[:, h - strip:, :], weights))
+        fix = srcnn_y(y[:, h - strip:, :], weights)
         n_bad = min(2, h)
-        out[:, h - n_bad:, :] = fix[:, strip - n_bad:, :]
+        out = out.at[:, h - n_bad:, :].set(fix[:, strip - n_bad:, :])
     return out[0] if squeeze else out

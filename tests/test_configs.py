@@ -40,6 +40,56 @@ def test_single_8k_config_meshed(weights):
     assert np.array_equal(out, ref)
 
 
+def test_single_8k_config_meshed_odd_height(weights):
+    # odd H exercises the device-side pad + bottom-2-row patch path
+    from srcnn_cpp_tpu.configs import single_8k
+    from srcnn_cpp_tpu.parallel import make_mesh
+    from srcnn_cpp_tpu.pipeline import upscale_bgr
+
+    mesh = make_mesh(data=1, row=8)
+    run = single_8k(weights, mesh=mesh, scale=1.5)
+    frame = np.random.default_rng(3).integers(0, 256, (37, 26, 3),
+                                              dtype=np.uint8)
+    out = run(frame)
+    ref = np.asarray(upscale_bgr(frame, 1.5, weights, kernel="xla"))
+    assert np.array_equal(out, ref)
+
+
+def test_single_8k_meshed_stays_on_device(weights, monkeypatch):
+    # the mesh path must not fall back to the host oracle / NumPy engines
+    import srcnn_cpp_tpu.oracle as oracle
+    import srcnn_cpp_tpu.ops.resize_tables as rt
+    from srcnn_cpp_tpu.configs import single_8k
+    from srcnn_cpp_tpu.parallel import make_mesh
+
+    def boom(*a, **k):
+        raise AssertionError("host fallback used in 8K mesh hot path")
+
+    monkeypatch.setattr(oracle, "bgr2ycrcb_u8_ref", boom)
+    monkeypatch.setattr(oracle, "ycrcb2bgr_u8_ref", boom)
+    monkeypatch.setattr(rt, "resize_bicubic_u8_np", boom)
+    mesh = make_mesh(data=1, row=8)
+    run = single_8k(weights, mesh=mesh)
+    frame = np.random.default_rng(4).integers(0, 256, (32, 24, 3),
+                                              dtype=np.uint8)
+    out = run(frame)
+    assert out.shape == (64, 48, 3)
+
+
+def test_stream_distributed_config(weights):
+    from srcnn_cpp_tpu.configs import stream_4k30_distributed
+    from srcnn_cpp_tpu.parallel import frame_mesh
+
+    mesh = frame_mesh(data=2)
+    up = stream_4k30_distributed(mesh=mesh, weights=weights, depth=1)
+    frames = np.random.default_rng(5).integers(
+        0, 256, (2, 3, 16, 16), dtype=np.uint8)
+    outs = [r for r in (up.push_local(frames), up.push_local(frames))
+            if r is not None]
+    outs += list(up.drain())
+    assert len(outs) == 2 and outs[0].shape == (2, 3, 32, 32)
+
+
 def test_stream_config(weights):
     from srcnn_cpp_tpu.configs import stream_4k30
 
