@@ -27,7 +27,11 @@ BASELINE_MPS = 0.0178  # reference binary, test.jpg x2, this host
 BATCH = 32
 ITERS = 6
 KERNEL = "pallas"  # fused single-pass kernel (ops/pallas_srcnn.py)
-RESIZE = "fast"    # banded-matmul bicubic (~70 dB agreement with exact)
+# the accuracy-gated configuration: the exact engine's horizontal pass is
+# now an exact banded matmul (ops/resize.py), putting it within ~12% of the
+# non-bit-exact "fast" engine (4.4 vs 5.0 GP/s at 4K) — so the headline
+# number IS the bit-exact path
+RESIZE = "exact"
 
 
 def main() -> None:

@@ -1,0 +1,76 @@
+"""On-chip attribution of the fused kernel's time by stage ablation.
+
+Runs the fused conv kernel at 4K with stages progressively disabled
+(profiling-only ``ablate`` flags in ops/pallas_srcnn.py) and prints a
+differenced cost table.  Variants are interleaved and best-of-N because
+on-chip timings vary run to run on a shared chip (KERNEL_NOTES.md).
+
+Usage (real TPU):
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/kernel_ablate.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srcnn_cpp_tpu.ops.pallas_srcnn import _fused_call, _pick_tiles, _prep_weights
+from srcnn_cpp_tpu.runtime import enable_compilation_cache
+from srcnn_cpp_tpu.weights import load_weights
+
+H, W = 2160, 3840
+VARIANTS = [
+    ("full", frozenset()),
+    ("no-stencil", frozenset({"stencil"})),
+    ("conv1+2", frozenset({"conv3"})),
+    ("conv1", frozenset({"conv2"})),
+    ("conv1/no-concat", frozenset({"conv2", "concat"})),
+]
+
+
+def main() -> None:
+    enable_compilation_cache()
+    weights = load_weights()
+    packed = jax.tree_util.tree_map(jnp.asarray, _prep_weights(weights))
+    th, tw = _pick_tiles(H, W)
+    hp = ((H + th - 1) // th) * th
+    wp = ((W + tw - 1) // tw) * tw
+    y = np.random.default_rng(0).integers(
+        0, 256, (hp + 16, wp + 128), dtype=np.uint8)
+    yd = jnp.asarray(y)
+
+    fns = {}
+    for name, flags in VARIANTS:
+        fns[name] = lambda flags=flags: _fused_call(yd, packed, th, tw, flags)
+        out = fns[name]()
+        np.asarray(out[:2, :2])  # compile + fence (relay-safe)
+        print(f"compiled {name}", flush=True)
+
+    best = {name: float("inf") for name, _ in VARIANTS}
+    for rep in range(4):
+        for name, _ in VARIANTS:
+            t0 = time.monotonic()
+            n = 6
+            for _ in range(n):
+                out = fns[name]()
+            np.asarray(out[:2, :2])
+            best[name] = min(best[name], (time.monotonic() - t0) / n)
+
+    mp = H * W / 1e6
+    print(f"\ntile ({th},{tw})  plane {W}x{H} = {mp:.1f} MP")
+    print(f"{'variant':>16}  {'ms':>8}  {'MP/s':>8}")
+    for name, _ in VARIANTS:
+        print(f"{name:>16}  {best[name]*1e3:8.2f}  {mp/best[name]:8.1f}")
+    print("\ndifferenced stage costs (ms):")
+    print(f"  stencil       : {1e3*(best['full'] - best['no-stencil']):7.2f}")
+    print(f"  conv3 matmuls : {1e3*(best['no-stencil'] - best['conv1+2']):7.2f}")
+    print(f"  conv2 matmuls : {1e3*(best['conv1+2'] - best['conv1']):7.2f}")
+    print(f"  rp concat     : {1e3*(best['conv1'] - best['conv1/no-concat']):7.2f}")
+    print(f"  conv1+dma+cast: {1e3*best['conv1/no-concat']:7.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,32 +41,44 @@ def _collect(paths) -> list[Path]:
     return out
 
 
-def evaluate_image(bgr: np.ndarray, scale: float, weights=None,
-                   kernel: str = "pallas") -> dict:
-    """One image through the Resize.m protocol; returns Y-channel metrics."""
-    from .pipeline import upscale_bgr
+def degrade_bgr(bgr: np.ndarray, scale: float):
+    """Resize.m degradation: crop GT + MATLAB-imresize-bicubic downscale.
+
+    Crops so the low-res size recovers the crop exactly under the float
+    rule, then downscales each YCrCb plane with the Keys a=-0.5 kernel,
+    anti-aliased (MATLAB ``imresize(gnd, 1/scale, 'bicubic')``,
+    reference Pictures/Resize.m:1-3).  NOT OpenCV INTER_CUBIC, which skips
+    the anti-alias widening — the model was trained on imresize degradation
+    and loses its gain under aliased inputs.
+
+    Returns ``(lr_bgr, gt_cropped)``.
+    """
+    from .oracle import ycrcb2bgr_u8_ref
+    from .ops.resize import resize_separable
 
     h, w = bgr.shape[:2]
-    # crop GT so the downscaled size recovers exactly under the float rule
     ch = int(math.floor(h / scale) * scale)
     cw = int(math.floor(w / scale) * scale)
     gt = bgr[:ch, :cw]
     lh, lw = int(round(ch / scale)), int(round(cw / scale))
     ycc = bgr2ycrcb_u8_ref(gt)
-    # degrade per Resize.m (MATLAB imresize bicubic): Keys a=-0.5 kernel,
-    # anti-aliased on downscale.  NOT OpenCV INTER_CUBIC, which skips the
-    # anti-alias widening — the model was trained on imresize degradation
-    # and loses its gain under aliased inputs.
-    from .ops.resize import resize_separable
-
     lr = np.stack([
         np.clip(np.round(np.asarray(resize_separable(
             ycc[..., i].astype(np.float32), (lh, lw), "cubic_matlab"))),
             0, 255).astype(np.uint8)
         for i in range(3)], axis=-1)
-    from .oracle import ycrcb2bgr_u8_ref
+    return ycrcb2bgr_u8_ref(lr), gt
 
-    lr_bgr = ycrcb2bgr_u8_ref(lr)
+
+def evaluate_image(bgr: np.ndarray, scale: float, weights=None,
+                   kernel: str = "pallas") -> dict:
+    """One image through the Resize.m protocol; returns Y-channel metrics."""
+    from .pipeline import upscale_bgr
+
+    lr_bgr, gt = degrade_bgr(bgr, scale)
+    ch, cw = gt.shape[:2]
+    ycc = bgr2ycrcb_u8_ref(gt)
+    lr = bgr2ycrcb_u8_ref(lr_bgr)
 
     sr = np.asarray(upscale_bgr(lr_bgr, scale, weights, kernel=kernel))
     sr = sr[:ch, :cw]

@@ -83,7 +83,7 @@ def _prep_weights(weights):
 
 def _kernel(y_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, w3h_ref, w3l_ref,
             b1_ref, b2_ref, out_ref, slab, cc, acc, dma_sem,
-            *, th: int, tw: int):
+            *, th: int, tw: int, ablate: frozenset = frozenset()):
     """One (th x tw) output tile; DMAs an overlapping aligned slab.
 
     The slab is (th+16, tw+128): the logical (th+12, tw+12) window rounded
@@ -127,17 +127,37 @@ def _kernel(y_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, w3h_ref, w3l_ref,
 
     acc[...] = jnp.zeros((th, tw), jnp.float32)
 
+    # ``ablate`` (profiling only, never set on the production path): skip
+    # named stages so their cost can be attributed on-chip by differencing
+    # — "concat" uses a contiguous (wrong) slice instead of rp assembly,
+    # "conv2" stops after conv1, "conv3" after conv2, "stencil" skips the
+    # 5x5 scatter-accumulate.
     for rf in range(th4):  # feature rows cover output rows rf-2 .. rf+2
-        rp = jnp.concatenate(
-            [cc[dx * s_rows + rf: dx * s_rows + rf + 9, :] for dx in range(9)]
-            + [zero_pad], axis=0)                          # (96, tw4) bf16
+        if "concat" in ablate:
+            rp = cc[rf:rf + _KTAPS, :]
+        else:
+            rp = jnp.concatenate(
+                [cc[dx * s_rows + rf: dx * s_rows + rf + 9, :]
+                 for dx in range(9)] + [zero_pad], axis=0)  # (96, tw4) bf16
         f1 = dot(w1h, rp) + dot(w1l, rp) + b1              # (64, tw4) f32
         f1 = jnp.maximum(f1, 0.0)
+        if "conv2" in ablate:
+            if rf < th:
+                acc[rf:rf + 1, :] += f1[0:1, 0:tw]
+            continue
         f1h, f1l = split(f1)
         f2 = dot(w2h, f1h) + dot(w2l, f1h) + dot(w2h, f1l) + b2
         f2 = jnp.maximum(f2, 0.0)                          # (32, tw4) f32
+        if "conv3" in ablate:
+            if rf < th:
+                acc[rf:rf + 1, :] += f2[0:1, 0:tw]
+            continue
         f2h, f2l = split(f2)
         q = dot(w3h, f2h) + dot(w3l, f2h) + dot(w3h, f2l)  # (32, tw4) f32
+        if "stencil" in ablate:
+            if rf < th:
+                acc[rf:rf + 1, :] += q[0:1, 0:tw]
+            continue
 
         # 5x5 stencil: scatter this feature row's 25 tap-partials into the
         # output rows it contributes to (all indices static: full unroll)
@@ -152,15 +172,16 @@ def _kernel(y_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, w3h_ref, w3l_ref,
     out_ref[...] = acc[...]
 
 
-@functools.partial(jax.jit, static_argnames=("th", "tw"))
-def _fused_call(y_pad, packed, th: int, tw: int):
+@functools.partial(jax.jit, static_argnames=("th", "tw", "ablate"))
+def _fused_call(y_pad, packed, th: int, tw: int,
+                ablate: frozenset = frozenset()):
     (w1h, w1l, w2h, w2l, w3h, w3l, b1, b2, b3) = packed
     hp, wp = y_pad.shape
     gh, gw = (hp - 16) // th, (wp - 128) // tw
     th4, tw4 = th + 4, tw + 4
     interpret = jax.default_backend() == "cpu"  # hermetic CPU tests
     out = pl.pallas_call(
-        functools.partial(_kernel, th=th, tw=tw),
+        functools.partial(_kernel, th=th, tw=tw, ablate=ablate),
         grid=(gh, gw),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # padded plane, HBM
