@@ -21,9 +21,15 @@ within Mosaic's constraint that only the last two dims are vector axes):
   partials (N=25 instead of N=1), and the 5x5 stencil accumulates shifted
   rows of ``q`` into the output tile;
 * float32 accuracy on a bf16 MXU via split-precision: f32 operands decompose
-  hi+lo (hi = bf16(x), lo = bf16(x - hi)): 2 matmuls for conv1 (uint8 input
+  hi+lo (hi = bf16(x), lo = bf16(x - hi)): 2 products for conv1 (uint8 input
   is exact in bf16), 3 for conv2/conv3 — ~2^-16 relative error, far below
-  the 0.5-LSB quantization budget (validated in tests/test_pallas.py).
+  the 0.5-LSB quantization budget (validated in tests/test_pallas.py);
+* the split-precision products are BLOCK-STACKED into one MXU pass per
+  stage (``_kernel_stacked``): conv1 M-stacks [w1h; w1l] into a full-M
+  (128, 96) weight; conv2/conv3 use ``[[wh, wh], [wl, 0]]`` blocks with
+  [xh; xl] K-stacked operands so all three products accumulate in f32
+  inside the MXU.  3 MXU passes per feature row instead of 8, each at
+  higher array utilization.
 
 Replicate padding: input-level clamp rows/cols are pre-padded by the
 wrapper.  conv3's *feature-level* clamp at true image edges
@@ -62,11 +68,18 @@ def _split_hi_lo(x):
     return hi32.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
-def _prep_weights(weights):
+def _prep_weights(weights, stacked: bool = True):
     """Packing of SRCNNWeights into kernel layouts (hi/lo bf16 pairs).
 
     Pure jnp so it traces under jit (weights may be tracers there).  conv1
     taps are reordered dx-major to match the kernel's patch assembly.
+
+    ``stacked=True`` (production) folds each stage's split-precision matmuls
+    into ONE block-stacked matmul (see the module docstring): conv1 M-stacks
+    [w1h; w1l] to (128, 96) — full MXU M; conv2/conv3 pack
+    ``[[wh, wh], [wl, 0]]`` so the hi·hi + hi·lo + lo·hi terms ride one
+    K-stacked pass.  ``stacked=False`` keeps the 8-matmul layout (kept for
+    on-chip A/B attribution only).
     """
     w1 = jnp.asarray(weights.conv1_w, jnp.float32).reshape(64, 9, 9)
     w1 = jnp.transpose(w1, (0, 2, 1)).reshape(64, 81)     # [oc, dx*9+dy]
@@ -77,8 +90,29 @@ def _prep_weights(weights):
     b1 = jnp.asarray(weights.conv1_b, jnp.float32).reshape(64, 1)
     b2 = jnp.asarray(weights.conv2_b, jnp.float32).reshape(32, 1)
     b3 = jnp.asarray(weights.conv3_b, jnp.float32)[0]
-    return (*_split_hi_lo(w1p), *_split_hi_lo(w2), *_split_hi_lo(w3p),
-            b1, b2, b3)
+    w1h, w1l = _split_hi_lo(w1p)
+    w2h, w2l = _split_hi_lo(w2)
+    w3h, w3l = _split_hi_lo(w3p)
+    if not stacked:
+        return (w1h, w1l, w2h, w2l, w3h, w3l, b1, b2, b3)
+    # stacked kernel orders conv3 taps kx-major (t = kx*5 + ky): the 5x5
+    # stencil then reduces with four (5, tw) block adds (one per extra kx)
+    # instead of 25 single-row ops — q rows {5kx+ky} land so that each
+    # lane-shifted (5, tw) window holds one kx's 5 vertical taps
+    w3x = jnp.asarray(weights.conv3_w, jnp.float32).reshape(32, 5, 5)
+    w3x = jnp.transpose(w3x, (2, 1, 0)).reshape(25, 32)   # [kx*5+ky, ic]
+    w3xp = jnp.zeros((32, 32), jnp.float32).at[:25].set(w3x)
+    w3h, w3l = _split_hi_lo(w3xp)
+    z32 = jnp.zeros_like(w2h)
+    z25 = jnp.zeros_like(w3h)
+    w1s = jnp.concatenate([w1h, w1l], axis=0)                    # (128, 96)
+    w2s = jnp.concatenate(                                        # (64, 128)
+        [jnp.concatenate([w2h, w2h], axis=1),
+         jnp.concatenate([w2l, z32], axis=1)], axis=0)
+    w3s = jnp.concatenate(                                        # (64, 64)
+        [jnp.concatenate([w3h, w3h], axis=1),
+         jnp.concatenate([w3l, z25], axis=1)], axis=0)
+    return (w1s, w2s, w3s, b1, b2, b3)
 
 
 def _kernel(y_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, w3h_ref, w3l_ref,
@@ -172,47 +206,178 @@ def _kernel(y_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, w3h_ref, w3l_ref,
     out_ref[...] = acc[...]
 
 
-@functools.partial(jax.jit, static_argnames=("th", "tw", "ablate"))
+def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
+                    out_ref, slab, cc, dma_sem,
+                    *, th: int, tw: int, ablate: frozenset = frozenset(),
+                    gw: int = 0, total: int = 0):
+    """Stacked-matmul variant: ONE MXU pass per stage per feature row.
+
+    conv1: (128, 96) @ rp — hi and lo weight halves M-stacked, f1 is the sum
+    of the output halves.  conv2: (64, 128) @ [f1h; f1l] — the K dimension
+    carries both input halves, the block layout [[w2h, w2h], [w2l, 0]] makes
+    row-half sums equal w2h·f1h + w2h·f1l + w2l·f1h.  conv3: same shape
+    trick at (64, 64).  Cuts MXU passes per feature row from 8 to 3 at
+    higher per-pass utilization (full-M conv1); numerics are the same three
+    split-precision products, accumulated in f32 inside the MXU instead of
+    by VPU adds.
+    """
+    th4, tw4 = th + 4, tw + 4
+    s_rows = th + 16
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    if total:
+        # double-buffered slab DMA: tile t+1's slab streams in while tile t
+        # computes (TPU grids run sequentially per core; scratch persists
+        # across steps, so the copy started last step is ready to wait on)
+        t = i * gw + j
+        par = jax.lax.rem(t, 2)
+
+        def _start(tn, slot):
+            jn = jax.lax.rem(tn, gw)
+            in_ = jax.lax.div(tn, gw)
+            pltpu.make_async_copy(
+                y_ref.at[pl.ds(in_ * th, s_rows), pl.ds(jn * tw, tw + 128)],
+                slab.at[slot], dma_sem.at[slot]).start()
+
+        @pl.when(t == 0)
+        def _():
+            _start(t, 0)
+
+        @pl.when(t + 1 < total)
+        def _():
+            _start(t + 1, jax.lax.rem(t + 1, 2))
+
+        pltpu.make_async_copy(
+            y_ref.at[pl.ds(i * th, s_rows), pl.ds(j * tw, tw + 128)],
+            slab.at[par], dma_sem.at[par]).wait()
+        sb = slab[par]
+    else:
+        copy = pltpu.make_async_copy(
+            y_ref.at[pl.ds(i * th, s_rows), pl.ds(j * tw, tw + 128)],
+            slab, dma_sem)
+        copy.start()
+        copy.wait()
+        sb = slab[...]
+    sb = sb.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    for dx in range(9):
+        cc[dx * s_rows:(dx + 1) * s_rows, :] = sb[:, dx:dx + tw4]
+
+    w1s, w2s, w3s = w1s_ref[...], w2s_ref[...], w3s_ref[...]
+    b1, b2 = b1_ref[...], b2_ref[...]
+    zero_pad = jnp.zeros((_KTAPS - 81, tw4), jnp.bfloat16)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def split(x):
+        bits = pltpu.bitcast(x, jnp.uint32)
+        hi32 = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
+
+    out_ref[...] = jnp.zeros((th, tw), jnp.float32)
+
+    for rf in range(th4):  # feature rows cover output rows rf-2 .. rf+2
+        if "concat" in ablate:
+            rp = cc[rf:rf + _KTAPS, :]
+        else:
+            rp = jnp.concatenate(
+                [cc[dx * s_rows + rf: dx * s_rows + rf + 9, :]
+                 for dx in range(9)] + [zero_pad], axis=0)  # (96, tw4) bf16
+        p1 = dot(w1s, rp)                                  # (128, tw4) f32
+        f1 = jnp.maximum(p1[:64] + p1[64:] + b1, 0.0)      # (64, tw4)
+        if "conv2" in ablate:
+            if rf < th:
+                out_ref[rf:rf + 1, :] += f1[0:1, 0:tw]
+            continue
+        f1h, f1l = split(f1)
+        p2 = dot(w2s, jnp.concatenate([f1h, f1l], axis=0))  # (64, tw4) f32
+        f2 = jnp.maximum(p2[:32] + p2[32:] + b2, 0.0)       # (32, tw4)
+        if "conv3" in ablate:
+            if rf < th:
+                out_ref[rf:rf + 1, :] += f2[0:1, 0:tw]
+            continue
+        f2h, f2l = split(f2)
+        p3 = dot(w3s, jnp.concatenate([f2h, f2l], axis=0))  # (64, tw4) f32
+        q = p3[:32] + p3[32:]
+        if "stencil" in ablate:
+            if rf < th:
+                out_ref[rf:rf + 1, :] += q[0:1, 0:tw]
+            continue
+
+        # taps are kx-major (q row kx*5+ky): summing the 5 lane-shifted
+        # (5, tw) windows folds the horizontal stencil in 4 block adds;
+        # t5 row ky is then this feature row's contribution to output row
+        # rf-ky (same ascending-kx add order as the scalar-row form)
+        t5 = q[0:5, 0:tw]
+        for kx in range(1, 5):
+            t5 = t5 + q[5 * kx: 5 * kx + 5, kx:kx + tw]
+        for dy in range(5):
+            ro = rf - dy
+            if 0 <= ro < th:
+                out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
+
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "ablate", "dbuf"))
 def _fused_call(y_pad, packed, th: int, tw: int,
-                ablate: frozenset = frozenset()):
-    (w1h, w1l, w2h, w2l, w3h, w3l, b1, b2, b3) = packed
+                ablate: frozenset = frozenset(), dbuf: bool = True):
+    *wrefs, b3 = packed
+    stacked = len(wrefs) == 5          # (w1s, w2s, w3s, b1, b2)
     hp, wp = y_pad.shape
     gh, gw = (hp - 16) // th, (wp - 128) // tw
     th4, tw4 = th + 4, tw + 4
     interpret = jax.default_backend() == "cpu"  # hermetic CPU tests
+    dbuf = dbuf and stacked
+    if stacked:
+        body = functools.partial(
+            _kernel_stacked, th=th, tw=tw, ablate=ablate,
+            gw=gw, total=gh * gw if dbuf else 0)
+    else:
+        body = functools.partial(_kernel, th=th, tw=tw, ablate=ablate)
+    slab_shape = (2, th + 16, tw + 128) if dbuf else (th + 16, tw + 128)
     out = pl.pallas_call(
-        functools.partial(_kernel, th=th, tw=tw, ablate=ablate),
+        body,
         grid=(gh, gw),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # padded plane, HBM
-            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wrefs),
         ],
         out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gh * th, gw * tw), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((th + 16, tw + 128), y_pad.dtype),      # slab (aligned)
+            pltpu.VMEM(slab_shape, y_pad.dtype),               # slab (aligned)
             pltpu.VMEM((9 * (th + 16), tw4), jnp.bfloat16),    # cc
-            pltpu.VMEM((th, tw), jnp.float32),                 # acc
-            pltpu.SemaphoreType.DMA(()),
+            # the stacked kernel accumulates straight into its out block
+            *([] if stacked else [pltpu.VMEM((th, tw), jnp.float32)]),
+            pltpu.SemaphoreType.DMA((2,) if dbuf else ()),
         ],
         interpret=interpret,
-    )(y_pad, w1h, w1l, w2h, w2l, w3h, w3l, b1, b2)
+    )(y_pad, *wrefs)
     return quantize_trunc_u8(out + b3)
 
 
 def _pick_tiles(h: int, w: int) -> tuple[int, int]:
     """Tile sizes: th rows x tw cols per program, VMEM-bounded.
 
-    On-device sweeps at 4K: (8,512) 80 MP/s -> (16,768) 144-166 ->
-    (16,640)/(24,640) ~151-157, all within run-to-run noise of each other;
-    (16, 640) wins the tiebreak because 640 divides the common widths
-    (1280/1920/3840) exactly, eliminating width alignment padding.
+    Round-2 on-device sweep at 4K (stacked kernel, KERNEL_NOTES.md): MP/s
+    rises monotonically with tile area — (16,640) 671 -> (32,1280) 855 ->
+    (64,1280) 881 -> (64,3840) 923; (96,1280) regresses (VMEM pressure).
+    The cost model: per-feature-row work is amortized over tw pixels, and
+    redundant halo rows per tile fall as (th+4)/th — so take the FULL image
+    width (capped at 3840, where cc + intermediates stay ~11 MB of the
+    ~16 MB VMEM) and th=64.  tw is a lane multiple (128); th a sublane
+    multiple (8), shrunk for short images to avoid padding blowup.
     """
-    th = 16
-    tw = 640
-    if w <= tw:
-        tw = max(128, ((w + 127) // 128) * 128)
+    # th: minimize total feature rows computed, ceil(h/th) * (th + 4 halo),
+    # over sublane-multiple heights up to 64 (ties -> taller, fewer tiles)
+    th = min((-(-h // t) * (t + 4), -t) for t in range(8, 72, 8))
+    th = -th[1]
+    cols = max(1, -(-w // 3840))
+    tw = max(128, -(-(-(-w // cols)) // 128) * 128)
     return th, tw
 
 
@@ -255,15 +420,16 @@ def _fix_edges(out, y_u8, weights):
     The kernel extends the input virtually; the reference clamps f2 feature
     rows/cols instead (srcnn.cpp:200-210).  Those differ only within 2 px of
     the true image border, so the frame strips are recomputed with the
-    split-precision XLA path (strips include a 6-px interior margin, making
-    their geometry exact; split precision carries ~2^-16 error, same as the
-    kernel itself).
+    split-precision XLA path.  Strip depth 8 is exact: output row 1 reaches
+    f2 row 3 (conv3 radius 2) which reaches input row 7 (conv1 radius 4),
+    and every out-of-strip access is the same top-edge clamp the full image
+    applies.  Split precision carries ~2^-16 error, same as the kernel.
     """
     from .srcnn import srcnn_y_split as srcnn_y
 
     h, w = y_u8.shape
-    rs = min(h, 16)   # strip depth with enough interior context
-    cs = min(w, 16)
+    rs = min(h, 8)    # strip depth: exact minimum interior context
+    cs = min(w, 8)
     top = srcnn_y(y_u8[:rs, :], weights)
     bot = srcnn_y(y_u8[h - rs:, :], weights)
     left = srcnn_y(y_u8[:, :cs], weights)
