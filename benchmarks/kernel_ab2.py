@@ -34,12 +34,8 @@ def main() -> None:
     base = rng.integers(0, 256, (H, W), dtype=np.uint8)  # ONE image for all
     cases = [
         ("old-16x640", pk_old, 16, 640, False),
-        ("v2+dbuf-32x1280", pk_new, 32, 1280, True),
-        ("v2+dbuf-48x1280", pk_new, 48, 1280, True),
-        ("v2+dbuf-64x1280", pk_new, 64, 1280, True),
-        ("v2+dbuf-96x1280", pk_new, 96, 1280, True),
-        ("v2+dbuf-64x1920", pk_new, 64, 1920, True),
-        ("v2+dbuf-64x3840", pk_new, 64, 3840, True),
+        ("v3-64x1920", pk_new, 64, 1920, True),
+        ("v3-64x3840", pk_new, 64, 3840, True),
     ]
     fns, outs = {}, {}
     for name, pk, th, tw, dbuf in cases:

@@ -103,15 +103,9 @@ def _prep_weights(weights, stacked: bool = True):
     w3x = jnp.transpose(w3x, (2, 1, 0)).reshape(25, 32)   # [kx*5+ky, ic]
     w3xp = jnp.zeros((32, 32), jnp.float32).at[:25].set(w3x)
     w3h, w3l = _split_hi_lo(w3xp)
-    z32 = jnp.zeros_like(w2h)
-    z25 = jnp.zeros_like(w3h)
-    w1s = jnp.concatenate([w1h, w1l], axis=0)                    # (128, 96)
-    w2s = jnp.concatenate(                                        # (64, 128)
-        [jnp.concatenate([w2h, w2h], axis=1),
-         jnp.concatenate([w2l, z32], axis=1)], axis=0)
-    w3s = jnp.concatenate(                                        # (64, 64)
-        [jnp.concatenate([w3h, w3h], axis=1),
-         jnp.concatenate([w3l, z25], axis=1)], axis=0)
+    w1s = jnp.concatenate([w1h, w1l], axis=1)             # (64, 192)
+    w2s = jnp.concatenate([w2h, w2l, w2h], axis=1)        # (32, 192)
+    w3s = jnp.concatenate([w3h, w3l, w3h], axis=1)        # (32, 96)
     return (w1s, w2s, w3s, b1, b2, b3)
 
 
@@ -210,16 +204,17 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
                     out_ref, slab, cc, dma_sem,
                     *, th: int, tw: int, ablate: frozenset = frozenset(),
                     gw: int = 0, total: int = 0):
-    """Stacked-matmul variant: ONE MXU pass per stage per feature row.
+    """K-stacked-matmul variant: one dot per stage per feature row.
 
-    conv1: (128, 96) @ rp — hi and lo weight halves M-stacked, f1 is the sum
-    of the output halves.  conv2: (64, 128) @ [f1h; f1l] — the K dimension
-    carries both input halves, the block layout [[w2h, w2h], [w2l, 0]] makes
-    row-half sums equal w2h·f1h + w2h·f1l + w2l·f1h.  conv3: same shape
-    trick at (64, 64).  Cuts MXU passes per feature row from 8 to 3 at
-    higher per-pass utilization (full-M conv1); numerics are the same three
-    split-precision products, accumulated in f32 inside the MXU instead of
-    by VPU adds.
+    Every stage's split-precision products ride the K axis of a single dot
+    with f32 in-MXU accumulation — conv1: (64, 192) [w1h | w1l] @ [rp; rp];
+    conv2: (32, 192) [w2h | w2l | w2h] @ [f1h; f1h; f1l]; conv3: (32, 96)
+    same @ [f2h; f2h; f2l].  K-stacking (vs M-stacking the weights) keeps
+    every dot OUTPUT at its logical M — no (128, tw)/(64, tw) double-height
+    partials to write, re-read and halve-sum, which matters because the
+    kernel is VMEM-bandwidth-bound, not MXU-pass-bound (KERNEL_NOTES.md
+    round 2).  Numerics: the same products as the 8-matmul layout, summed
+    in one f32 K-reduction.
     """
     th4, tw4 = th + 4, tw + 4
     s_rows = th + 16
@@ -281,27 +276,26 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
 
     for rf in range(th4):  # feature rows cover output rows rf-2 .. rf+2
         if "concat" in ablate:
-            rp = cc[rf:rf + _KTAPS, :]
+            rp = cc[rf:rf + 2 * _KTAPS, :]
         else:
-            rp = jnp.concatenate(
-                [cc[dx * s_rows + rf: dx * s_rows + rf + 9, :]
-                 for dx in range(9)] + [zero_pad], axis=0)  # (96, tw4) bf16
-        p1 = dot(w1s, rp)                                  # (128, tw4) f32
-        f1 = jnp.maximum(p1[:64] + p1[64:] + b1, 0.0)      # (64, tw4)
+            windows = [cc[dx * s_rows + rf: dx * s_rows + rf + 9, :]
+                       for dx in range(9)] + [zero_pad]
+            rp = jnp.concatenate(windows * 2, axis=0)      # (192, tw4) bf16
+        f1 = jnp.maximum(dot(w1s, rp) + b1, 0.0)           # (64, tw4) f32
         if "conv2" in ablate:
             if rf < th:
                 out_ref[rf:rf + 1, :] += f1[0:1, 0:tw]
             continue
         f1h, f1l = split(f1)
-        p2 = dot(w2s, jnp.concatenate([f1h, f1l], axis=0))  # (64, tw4) f32
-        f2 = jnp.maximum(p2[:32] + p2[32:] + b2, 0.0)       # (32, tw4)
+        f2 = jnp.maximum(
+            dot(w2s, jnp.concatenate([f1h, f1h, f1l], axis=0)) + b2,
+            0.0)                                           # (32, tw4) f32
         if "conv3" in ablate:
             if rf < th:
                 out_ref[rf:rf + 1, :] += f2[0:1, 0:tw]
             continue
         f2h, f2l = split(f2)
-        p3 = dot(w3s, jnp.concatenate([f2h, f2l], axis=0))  # (64, tw4) f32
-        q = p3[:32] + p3[32:]
+        q = dot(w3s, jnp.concatenate([f2h, f2h, f2l], axis=0))  # (32, tw4)
         if "stencil" in ablate:
             if rf < th:
                 out_ref[rf:rf + 1, :] += q[0:1, 0:tw]
