@@ -420,18 +420,29 @@ def _fix_edges(out, y_u8, weights):
     applies.  Split precision carries ~2^-16 error, same as the kernel.
     """
     from .srcnn import srcnn_y_split as srcnn_y
+    from ..weights.loader import SRCNNWeights
 
     h, w = y_u8.shape
     rs = min(h, 8)    # strip depth: exact minimum interior context
     cs = min(w, 8)
-    top = srcnn_y(y_u8[:rs, :], weights)
-    bot = srcnn_y(y_u8[h - rs:, :], weights)
-    left = srcnn_y(y_u8[:, :cs], weights)
-    right = srcnn_y(y_u8[:, w - cs:], weights)
     n = min(2, h)
     m = min(2, w)
-    out = out.at[:n, :].set(top[:n, :])
-    out = out.at[h - n:, :].set(bot[rs - n:, :])
-    out = out.at[:, :m].set(left[:, :m])
-    out = out.at[:, w - m:].set(right[:, cs - m:])
+    # top+bottom as ONE (2, rs, w) batch — long dim on the lane axis
+    tb = srcnn_y(jnp.stack([y_u8[:rs, :], y_u8[h - rs:, :]]), weights)
+    # left+right strips are (h, 8): 8 lanes of 128 — catastrophic VPU/MXU
+    # layout (measured 33 ms of a 110 ms batch-32 1080p dispatch).  Run them
+    # TRANSPOSED instead: corr2d(x^T, k^T) == corr2d(x, k)^T, and conv2 is
+    # 1x1, so spatially transposing the conv1/conv3 taps suffices.
+    wT = SRCNNWeights(
+        conv1_w=jnp.swapaxes(jnp.asarray(weights.conv1_w), -1, -2),
+        conv1_b=weights.conv1_b,
+        conv2_w=weights.conv2_w,
+        conv2_b=weights.conv2_b,
+        conv3_w=jnp.swapaxes(jnp.asarray(weights.conv3_w), -1, -2),
+        conv3_b=weights.conv3_b)
+    lr = srcnn_y(jnp.stack([y_u8[:, :cs].T, y_u8[:, w - cs:].T]), wT)
+    out = out.at[:n, :].set(tb[0, :n, :])
+    out = out.at[h - n:, :].set(tb[1, rs - n:, :])
+    out = out.at[:, :m].set(lr[0, :m, :].T)
+    out = out.at[:, w - m:].set(lr[1, cs - m:, :].T)
     return out

@@ -62,3 +62,19 @@ def test_fused_constant_plane(weights):
     ref = np.asarray(srcnn_y(y, weights))
     assert (out == out[12, 128]).all()
     assert abs(int(out[12, 128]) - int(ref[12, 128])) <= 1
+
+
+def test_pick_tiles_policy():
+    """Tile policy invariants: alignment, bounds, and coverage economy."""
+    from srcnn_cpp_tpu.ops.pallas_srcnn import _pick_tiles
+
+    for h, w in [(2160, 3840), (1080, 1920), (540, 960), (270, 1932),
+                 (100, 100), (8, 128), (7, 60), (4320, 7680), (33, 640)]:
+        th, tw = _pick_tiles(h, w)
+        assert th % 8 == 0 and 8 <= th <= 64
+        assert tw % 128 == 0 and tw <= 3840
+        # grids cover the plane
+        assert -(-h // th) * th >= h and -(-w // tw) * tw >= w
+    # full-width tiles at the production geometries
+    assert _pick_tiles(2160, 3840) == (64, 3840)
+    assert _pick_tiles(1080, 1920) == (64, 1920)
