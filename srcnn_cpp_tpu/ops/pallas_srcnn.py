@@ -200,10 +200,47 @@ def _kernel(y_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, w3h_ref, w3l_ref,
     out_ref[...] = acc[...]
 
 
+def _row_clamp_plan(h: int, th: int):
+    """Static scatter corrections giving conv3's feature-ROW clamp in-kernel.
+
+    The reference replicate-pads conv3 at the *feature* level
+    (srcnn.cpp:200-210): output row ``g`` reads feature rows
+    ``clamp(g + dy - 2, 0, h-1)``.  The kernel's virtually-extended input
+    instead produces feature rows computed from edge-padded pixels, which
+    differ in exactly the 2 outermost output rows.  Both semantics use the
+    same per-tile feature rows, so the fix is a static rewiring of the
+    stencil scatter: where ``clamp`` changes the source row, the default
+    scatter is skipped in that tile and the tap is re-added when the
+    clamped feature row comes through the loop.
+
+    Returns ``(skips, extras)``: ``skips[(rf, dy)]`` is a tuple of tile row
+    indices where that scatter must NOT run; ``extras[rf]`` lists
+    ``(tile_i, dy, ro)`` additions of ``t5[dy]`` into ``out[ro]``.
+    """
+    skips: dict[tuple[int, int], list[int]] = {}
+    extras: dict[int, list[tuple[int, int, int]]] = {}
+    gh = -(-h // th)
+    for it in sorted({0, gh - 2, gh - 1} & set(range(gh))):
+        for gl in range(th):
+            g = it * th + gl
+            if g >= h or (2 <= g < h - 2):
+                continue
+            for dy in range(5):
+                f_def = g + dy - 2
+                f_true = min(max(f_def, 0), h - 1)
+                if f_true == f_def:
+                    continue
+                skips.setdefault((gl + dy, dy), []).append(it)
+                extras.setdefault(f_true - it * th + 2, []).append(
+                    (it, dy, gl))
+    return ({k: tuple(v) for k, v in skips.items()},
+            {k: tuple(v) for k, v in extras.items()})
+
+
 def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
                     out_ref, slab, cc, dma_sem,
                     *, th: int, tw: int, ablate: frozenset = frozenset(),
-                    gw: int = 0, total: int = 0):
+                    gw: int = 0, total: int = 0, true_h: int = 0):
     """K-stacked-matmul variant: one dot per stage per feature row.
 
     Every stage's split-precision products ride the K axis of a single dot
@@ -215,10 +252,17 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
     kernel is VMEM-bandwidth-bound, not MXU-pass-bound (KERNEL_NOTES.md
     round 2).  Numerics: the same products as the 8-matmul layout, summed
     in one f32 K-reduction.
+
+    ``true_h`` (static) enables the in-kernel feature-row clamp
+    (:func:`_row_clamp_plan`): the top/bottom 2 output rows then carry the
+    reference's conv3 row semantics directly, and no top/bottom strip
+    recompute is needed outside the kernel (left/right columns still are).
     """
     th4, tw4 = th + 4, tw + 4
     s_rows = th + 16
     i, j = pl.program_id(0), pl.program_id(1)
+    row_skips, row_extras = (_row_clamp_plan(true_h, th) if true_h
+                             else ({}, {}))
 
     if total:
         # double-buffered slab DMA: tile t+1's slab streams in while tile t
@@ -311,13 +355,29 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
         for dy in range(5):
             ro = rf - dy
             if 0 <= ro < th:
+                sk = row_skips.get((rf, dy), ())
+                if sk:
+                    cond = i != sk[0]
+                    for itx in sk[1:]:
+                        cond = cond & (i != itx)
+
+                    @pl.when(cond)
+                    def _(ro=ro, dy=dy, t5=t5):
+                        out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
+                else:
+                    out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
+        for itx, dy, ro in row_extras.get(rf, ()):
+            @pl.when(i == itx)
+            def _(ro=ro, dy=dy, t5=t5):
                 out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
 
 
 
-@functools.partial(jax.jit, static_argnames=("th", "tw", "ablate", "dbuf"))
+@functools.partial(jax.jit,
+                   static_argnames=("th", "tw", "ablate", "dbuf", "true_h"))
 def _fused_call(y_pad, packed, th: int, tw: int,
-                ablate: frozenset = frozenset(), dbuf: bool = True):
+                ablate: frozenset = frozenset(), dbuf: bool = True,
+                true_h: int = 0):
     *wrefs, b3 = packed
     stacked = len(wrefs) == 5          # (w1s, w2s, w3s, b1, b2)
     hp, wp = y_pad.shape
@@ -328,7 +388,7 @@ def _fused_call(y_pad, packed, th: int, tw: int,
     if stacked:
         body = functools.partial(
             _kernel_stacked, th=th, tw=tw, ablate=ablate,
-            gw=gw, total=gh * gw if dbuf else 0)
+            gw=gw, total=gh * gw if dbuf else 0, true_h=true_h)
     else:
         body = functools.partial(_kernel, th=th, tw=tw, ablate=ablate)
     slab_shape = (2, th + 16, tw + 128) if dbuf else (th + 16, tw + 128)
@@ -394,7 +454,8 @@ def srcnn_y_fused(y_u8, weights):
         y = jnp.pad(y_u8, ((0, 0), (6, 10 + hp - h), (6, 122 + wp - w)),
                     mode="edge")
         packed = _prep_weights(weights)
-        out = jax.lax.map(lambda yp: _fused_call(yp, packed, th, tw), y)
+        out = jax.lax.map(
+            lambda yp: _fused_call(yp, packed, th, tw, true_h=h), y)
         out = out[:, :h, :w]
         return jax.vmap(lambda o, yy: _fix_edges(o, yy, weights))(out, y_u8)
     h, w = y_u8.shape
@@ -404,31 +465,31 @@ def srcnn_y_fused(y_u8, weights):
     # 6-px replicate halo + DMA-alignment slack (4 rows, 116 cols)
     y = jnp.pad(y_u8, ((6, 10 + hp - h), (6, 122 + wp - w)), mode="edge")
     packed = _prep_weights(weights)
-    out = _fused_call(y, packed, th, tw)
+    out = _fused_call(y, packed, th, tw, true_h=h)
     return _fix_edges(out[:h, :w], y_u8, weights)
 
 
 def _fix_edges(out, y_u8, weights):
-    """Recompute the 2-px frame where conv3's feature-level clamp applies.
+    """Recompute the 2-px columns where conv3's feature-COLUMN clamp applies.
 
     The kernel extends the input virtually; the reference clamps f2 feature
-    rows/cols instead (srcnn.cpp:200-210).  Those differ only within 2 px of
-    the true image border, so the frame strips are recomputed with the
-    split-precision XLA path.  Strip depth 8 is exact: output row 1 reaches
-    f2 row 3 (conv3 radius 2) which reaches input row 7 (conv1 radius 4),
-    and every out-of-strip access is the same top-edge clamp the full image
-    applies.  Split precision carries ~2^-16 error, same as the kernel.
+    rows/cols instead (srcnn.cpp:200-210).  Rows are handled inside the
+    kernel (``_row_clamp_plan`` — a static scatter rewiring, free).  Columns
+    sit on the lane axis where a 2-lane rewiring is not expressible, so the
+    2-px left/right strips are recomputed with the split-precision XLA path.
+    Strip depth 8 is exact: output col 1 reaches f2 col 3 (conv3 radius 2)
+    which reaches input col 7 (conv1 radius 4), and every out-of-strip
+    access is the same edge clamp the full image applies.  Corner semantics:
+    the strips edge-pad BOTH dims, so the 2x2 corners carry the reference's
+    row+column clamp.  Split precision carries ~2^-16 error, same as the
+    kernel.
     """
     from .srcnn import srcnn_y_split as srcnn_y
     from ..weights.loader import SRCNNWeights
 
     h, w = y_u8.shape
-    rs = min(h, 8)    # strip depth: exact minimum interior context
-    cs = min(w, 8)
-    n = min(2, h)
+    cs = min(w, 8)    # strip depth: exact minimum interior context
     m = min(2, w)
-    # top+bottom as ONE (2, rs, w) batch — long dim on the lane axis
-    tb = srcnn_y(jnp.stack([y_u8[:rs, :], y_u8[h - rs:, :]]), weights)
     # left+right strips are (h, 8): 8 lanes of 128 — catastrophic VPU/MXU
     # layout (measured 33 ms of a 110 ms batch-32 1080p dispatch).  Run them
     # TRANSPOSED instead: corr2d(x^T, k^T) == corr2d(x, k)^T, and conv2 is
@@ -441,8 +502,6 @@ def _fix_edges(out, y_u8, weights):
         conv3_w=jnp.swapaxes(jnp.asarray(weights.conv3_w), -1, -2),
         conv3_b=weights.conv3_b)
     lr = srcnn_y(jnp.stack([y_u8[:, :cs].T, y_u8[:, w - cs:].T]), wT)
-    out = out.at[:n, :].set(tb[0, :n, :])
-    out = out.at[h - n:, :].set(tb[1, rs - n:, :])
     out = out.at[:, :m].set(lr[0, :m, :].T)
     out = out.at[:, w - m:].set(lr[1, cs - m:, :].T)
     return out

@@ -78,3 +78,57 @@ def test_pick_tiles_policy():
     # full-width tiles at the production geometries
     assert _pick_tiles(2160, 3840) == (64, 3840)
     assert _pick_tiles(1080, 1920) == (64, 1920)
+
+
+def test_row_clamp_plan_matches_reference_semantics():
+    """For every (h, th): default scatters minus skips plus extras must give
+    each output row exactly the reference's clamped feature-row/tap pairs
+    (srcnn.cpp:200-210)."""
+    from srcnn_cpp_tpu.ops.pallas_srcnn import _row_clamp_plan
+
+    for h, th in [(17, 24), (25, 8), (40, 40), (100, 56), (1080, 64),
+                  (1153, 64), (3, 8), (1, 8), (129, 64), (65, 8)]:
+        skips, extras = _row_clamp_plan(h, th)
+        gh = -(-h // th)
+        for it in range(gh):
+            got = {}  # g -> multiset of (global feature row, tap)
+            for gl in range(th):
+                g = it * th + gl
+                if g >= h:
+                    continue
+                for dy in range(5):
+                    rf = gl + dy
+                    if it not in skips.get((rf, dy), ()):
+                        got.setdefault(g, []).append((it * th + rf - 2, dy))
+            for rf, adds in extras.items():
+                for (itx, dy, ro) in adds:
+                    if itx == it:
+                        got.setdefault(it * th + ro, []).append(
+                            (it * th + rf - 2, dy))
+            for gl in range(th):
+                g = it * th + gl
+                if g >= h:
+                    continue
+                want = sorted((min(max(g + dy - 2, 0), h - 1), dy)
+                              for dy in range(5))
+                assert sorted(got[g]) == want, (h, th, g)
+
+
+def test_fused_straddle_bottom_tile(weights):
+    """Bottom 2 output rows split across two tiles ((h-1) % th == 0)."""
+    from srcnn_cpp_tpu.ops.pallas_srcnn import (_fix_edges, _fused_call,
+                                                _prep_weights)
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+    import jax.numpy as jnp
+
+    h, w, th, tw = 25, 260, 8, 384
+    y = np.random.default_rng(7).integers(0, 256, (h, w), dtype=np.uint8)
+    ref = np.asarray(srcnn_y(y, weights))
+    hp = ((h + th - 1) // th) * th
+    wp = ((w + tw - 1) // tw) * tw
+    yp = jnp.pad(jnp.asarray(y), ((6, 10 + hp - h), (6, 122 + wp - w)),
+                 mode="edge")
+    out = _fused_call(yp, _prep_weights(weights), th, tw, true_h=h)
+    out = np.asarray(_fix_edges(out[:h, :w], jnp.asarray(y), weights))
+    d = np.abs(ref.astype(int) - out.astype(int))
+    assert d.max() <= 1, f"max LSB {d.max()}"
