@@ -240,7 +240,8 @@ def _row_clamp_plan(h: int, th: int):
 def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
                     out_ref, slab, cc, dma_sem,
                     *, th: int, tw: int, ablate: frozenset = frozenset(),
-                    gw: int = 0, total: int = 0, true_h: int = 0):
+                    gw: int = 0, total: int = 0, true_h: int = 0,
+                    rpb: int = 1):
     """K-stacked-matmul variant: one dot per stage per feature row.
 
     Every stage's split-precision products ride the K axis of a single dot
@@ -318,66 +319,84 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
 
     out_ref[...] = jnp.zeros((th, tw), jnp.float32)
 
-    for rf in range(th4):  # feature rows cover output rows rf-2 .. rf+2
+    # ``rpb`` feature rows per iteration, lane-concatenated: the dots see
+    # N = rpb*tw4 (identical per-column results — bit-exact) and every
+    # elementwise/split/concat op issues once per BLOCK instead of once per
+    # row, amortizing the VPU op-issue overhead that dominates per-row cost
+    for rf0 in range(0, th4, rpb):
+        nr = min(rpb, th4 - rf0)
         if "concat" in ablate:
-            rp = cc[rf:rf + 2 * _KTAPS, :]
-        else:
-            windows = [cc[dx * s_rows + rf: dx * s_rows + rf + 9, :]
+            rp = cc[rf0:rf0 + 2 * _KTAPS, 0:nr * tw4]
+        elif nr == 1:
+            windows = [cc[dx * s_rows + rf0: dx * s_rows + rf0 + 9, :]
                        for dx in range(9)] + [zero_pad]
-            rp = jnp.concatenate(windows * 2, axis=0)      # (192, tw4) bf16
-        f1 = jnp.maximum(dot(w1s, rp) + b1, 0.0)           # (64, tw4) f32
+            rp = jnp.concatenate(windows * 2, axis=0)  # (192, tw4) bf16
+        else:
+            halves = []
+            for r in range(nr):
+                rf = rf0 + r
+                halves.append(jnp.concatenate(
+                    [cc[dx * s_rows + rf: dx * s_rows + rf + 9, :]
+                     for dx in range(9)] + [zero_pad], axis=0))  # (96, tw4)
+            one = jnp.concatenate(halves, axis=1)
+            rp = jnp.concatenate([one, one], axis=0)   # (192, nr*tw4) bf16
+        f1 = jnp.maximum(dot(w1s, rp) + b1, 0.0)       # (64, nr*tw4) f32
         if "conv2" in ablate:
-            if rf < th:
-                out_ref[rf:rf + 1, :] += f1[0:1, 0:tw]
+            if rf0 < th:
+                out_ref[rf0:rf0 + 1, :] += f1[0:1, 0:tw]
             continue
         f1h, f1l = split(f1)
         f2 = jnp.maximum(
             dot(w2s, jnp.concatenate([f1h, f1h, f1l], axis=0)) + b2,
-            0.0)                                           # (32, tw4) f32
+            0.0)                                       # (32, nr*tw4) f32
         if "conv3" in ablate:
-            if rf < th:
-                out_ref[rf:rf + 1, :] += f2[0:1, 0:tw]
+            if rf0 < th:
+                out_ref[rf0:rf0 + 1, :] += f2[0:1, 0:tw]
             continue
         f2h, f2l = split(f2)
-        q = dot(w3s, jnp.concatenate([f2h, f2h, f2l], axis=0))  # (32, tw4)
+        q = dot(w3s, jnp.concatenate([f2h, f2h, f2l], axis=0))  # (32, nr*tw4)
         if "stencil" in ablate:
-            if rf < th:
-                out_ref[rf:rf + 1, :] += q[0:1, 0:tw]
+            if rf0 < th:
+                out_ref[rf0:rf0 + 1, :] += q[0:1, 0:tw]
             continue
 
         # taps are kx-major (q row kx*5+ky): summing the 5 lane-shifted
         # (5, tw) windows folds the horizontal stencil in 4 block adds;
         # t5 row ky is then this feature row's contribution to output row
         # rf-ky (same ascending-kx add order as the scalar-row form)
-        t5 = q[0:5, 0:tw]
-        for kx in range(1, 5):
-            t5 = t5 + q[5 * kx: 5 * kx + 5, kx:kx + tw]
-        for dy in range(5):
-            ro = rf - dy
-            if 0 <= ro < th:
-                sk = row_skips.get((rf, dy), ())
-                if sk:
-                    cond = i != sk[0]
-                    for itx in sk[1:]:
-                        cond = cond & (i != itx)
+        for r in range(nr):
+            rf = rf0 + r
+            qq = q[:, r * tw4:(r + 1) * tw4]
+            t5 = qq[0:5, 0:tw]
+            for kx in range(1, 5):
+                t5 = t5 + qq[5 * kx: 5 * kx + 5, kx:kx + tw]
+            for dy in range(5):
+                ro = rf - dy
+                if 0 <= ro < th:
+                    sk = row_skips.get((rf, dy), ())
+                    if sk:
+                        cond = i != sk[0]
+                        for itx in sk[1:]:
+                            cond = cond & (i != itx)
 
-                    @pl.when(cond)
-                    def _(ro=ro, dy=dy, t5=t5):
+                        @pl.when(cond)
+                        def _(ro=ro, dy=dy, t5=t5):
+                            out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
+                    else:
                         out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
-                else:
+            for itx, dy, ro in row_extras.get(rf, ()):
+                @pl.when(i == itx)
+                def _(ro=ro, dy=dy, t5=t5):
                     out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
-        for itx, dy, ro in row_extras.get(rf, ()):
-            @pl.when(i == itx)
-            def _(ro=ro, dy=dy, t5=t5):
-                out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
 
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("th", "tw", "ablate", "dbuf", "true_h"))
+                   static_argnames=("th", "tw", "ablate", "dbuf", "true_h",
+                                    "rpb"))
 def _fused_call(y_pad, packed, th: int, tw: int,
                 ablate: frozenset = frozenset(), dbuf: bool = True,
-                true_h: int = 0):
+                true_h: int = 0, rpb: int = 1):
     *wrefs, b3 = packed
     stacked = len(wrefs) == 5          # (w1s, w2s, w3s, b1, b2)
     hp, wp = y_pad.shape
@@ -388,7 +407,8 @@ def _fused_call(y_pad, packed, th: int, tw: int,
     if stacked:
         body = functools.partial(
             _kernel_stacked, th=th, tw=tw, ablate=ablate,
-            gw=gw, total=gh * gw if dbuf else 0, true_h=true_h)
+            gw=gw, total=gh * gw if dbuf else 0, true_h=true_h,
+            rpb=1 if ablate else rpb)
     else:
         body = functools.partial(_kernel, th=th, tw=tw, ablate=ablate)
     slab_shape = (2, th + 16, tw + 128) if dbuf else (th + 16, tw + 128)
