@@ -73,6 +73,37 @@ def _hband_split(ow: int, iw: int):
     return _np_split_bf16(mx)
 
 
+def _vphase_plan(oh: int, ih: int):
+    """Phase decomposition of the vertical pass, when bitwise-valid.
+
+    OpenCV's per-output-row tap indices/coefficients usually repeat with a
+    small period ``P`` (advancing ``S`` source rows per period): exact for
+    x2/x3 (P=2/3, S=1) and in practice for x1.5 (P=3, S=2).  When a period
+    exists BITWISE (indices shift by exactly S, float32 coefficients
+    identical), each phase's gather collapses to 4 strided slices with
+    scalar coefficients — XLA fuses those into sequential streams, where
+    the gather form materializes four full-size planes.  Returns
+    ``(P, S, top, bot, bases, coefs)`` or ``None`` (fallback to gathers).
+    """
+    scale = ih / oh
+    f = ((np.arange(oh, dtype=np.float64) + 0.5) * scale - 0.5).astype(np.float32)
+    s = np.floor(f).astype(np.int64)
+    yi_un = s[:, None] + np.arange(-1, 3)[None, :]   # unclamped taps
+    _, _, yfc = cv_cubic_tables(oh, ih)
+    for P in range(1, 9):
+        if oh <= P:
+            return None
+        S = int(s[P] - s[0])
+        if (yi_un[P:] == yi_un[:-P] + S).all() \
+                and (yfc[P:].view(np.uint32) == yfc[:-P].view(np.uint32)).all():
+            top = max(0, -int(yi_un.min()))
+            bot = max(0, int(yi_un.max()) - (ih - 1))
+            return (P, S, top, bot,
+                    [[int(v) + top for v in yi_un[p]] for p in range(P)],
+                    [[np.float32(v) for v in yfc[p]] for p in range(P)])
+    return None
+
+
 @partial(jnp.vectorize, excluded=(1, 2), signature="(h,w)->(p,q)")
 def _resize_bicubic_u8_2d(img, oh: int, ow: int):
     ih, iw = img.shape
@@ -86,8 +117,31 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int):
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
     rows = dot(x, jnp.asarray(mxh)) + dot(x, jnp.asarray(mxl))
     # vertical pass: float32, right-to-left separate mul/add with OpenCV's
-    # per-product roundings (SIMD VResizeCubic); row gathers are sublane
-    # slices, cheap on TPU
+    # per-product roundings (SIMD VResizeCubic)
+    plan = _vphase_plan(oh, ih)
+    if plan is not None:
+        # phased form: replicate row padding realizes the index clamp, each
+        # phase is 4 shifted (stride-S) slices x scalar coefficients — the
+        # identical mul/add chain per element, so bit-identical output
+        P, S, top, bot, bases, coefs = plan
+        rp = jnp.concatenate(
+            ([jnp.repeat(rows[:1, :], top, axis=0)] if top else [])
+            + [rows]
+            + ([jnp.repeat(rows[-1:, :], bot, axis=0)] if bot else []),
+            axis=0)
+        nmax = -(-oh // P)
+        phases = []
+        for p in range(P):
+            n = len(range(p, oh, P))
+            r = rp[bases[p][3]: bases[p][3] + S * n: S, :] * coefs[p][3]
+            for k in (2, 1, 0):
+                r = rp[bases[p][k]: bases[p][k] + S * n: S, :] * coefs[p][k] + r
+            u = jnp.clip(jnp.round(r), 0, 255).astype(jnp.uint8)
+            if n < nmax:
+                u = jnp.pad(u, ((0, nmax - n), (0, 0)))
+            phases.append(u)
+        out = jnp.stack(phases, axis=1).reshape(nmax * P, ow)
+        return out[:oh]
     r = rows[yi[:, 3], :] * yfc[:, 3][:, None]
     for k in (2, 1, 0):
         r = rows[yi[:, k], :] * yfc[:, k][:, None] + r

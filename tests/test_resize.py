@@ -138,3 +138,20 @@ def test_fast_matmul_engine_close_to_exact(cv46_cases):
         d = np.abs(out.astype(int) - ref.astype(int))
         assert d.max() <= 1, (src.shape, ref.shape, d.max())
         assert (d > 0).mean() < 0.02
+
+
+def test_vphase_plan_detection_and_fallback():
+    # The vertical pass's phase decomposition must trigger for the scales
+    # the CLI advertises (x1.5/x2/x3 — bitwise-periodic OpenCV tables) and
+    # decline when no bitwise period exists; correctness of both branches
+    # is pinned by the cv46 golden cases above.
+    from srcnn_cpp_tpu.ops.resize import _vphase_plan
+
+    for oh, ih, P, S in [(1080, 540, 2, 1), (288, 96, 3, 1),
+                         (576, 384, 3, 2), (144, 96, 3, 2)]:
+        plan = _vphase_plan(oh, ih)
+        assert plan is not None and plan[:2] == (P, S), (oh, ih, plan)
+    # aperiodic ratio: every tested period must fail the bitwise check
+    assert _vphase_plan(103, 69) is None
+    # degenerate small output falls back rather than indexing out of range
+    assert _vphase_plan(2, 7) is None
