@@ -95,12 +95,14 @@ def _prep_weights(weights, stacked: bool = True):
     w3h, w3l = _split_hi_lo(w3p)
     if not stacked:
         return (w1h, w1l, w2h, w2l, w3h, w3l, b1, b2, b3)
-    # stacked kernel orders conv3 taps kx-major (t = kx*5 + ky): the 5x5
-    # stencil then reduces with four (5, tw) block adds (one per extra kx)
-    # instead of 25 single-row ops — q rows {5kx+ky} land so that each
-    # lane-shifted (5, tw) window holds one kx's 5 vertical taps
+    # stacked kernel orders conv3 taps kx-major with ky REVERSED within
+    # each kx block (t = kx*5 + (4-ky)): the 5x5 stencil then reduces with
+    # four (5, tw) block adds (one per extra kx) instead of 25 single-row
+    # ops, and the resulting t5 row r is the feature row's contribution to
+    # output row rf-4+r — contiguous, so interior feature rows accumulate
+    # with ONE 5-row block add (see _kernel_stacked)
     w3x = jnp.asarray(weights.conv3_w, jnp.float32).reshape(32, 5, 5)
-    w3x = jnp.transpose(w3x, (2, 1, 0)).reshape(25, 32)   # [kx*5+ky, ic]
+    w3x = jnp.transpose(w3x, (2, 1, 0))[:, ::-1, :].reshape(25, 32)
     w3xp = jnp.zeros((32, 32), jnp.float32).at[:25].set(w3x)
     w3h, w3l = _split_hi_lo(w3xp)
     w1s = jnp.concatenate([w1h, w1l], axis=1)             # (64, 192)
@@ -360,16 +362,25 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
                 out_ref[rf0:rf0 + 1, :] += q[0:1, 0:tw]
             continue
 
-        # taps are kx-major (q row kx*5+ky): summing the 5 lane-shifted
-        # (5, tw) windows folds the horizontal stencil in 4 block adds;
-        # t5 row ky is then this feature row's contribution to output row
-        # rf-ky (same ascending-kx add order as the scalar-row form)
+        # taps are kx-major, ky-reversed per block (q row kx*5 + (4-ky)):
+        # summing the 5 lane-shifted (5, tw) windows folds the horizontal
+        # stencil in 4 block adds, and t5 row r is this feature row's
+        # contribution to output row rf-4+r (same ascending-kx add order as
+        # the scalar-row form).  Interior feature rows — full window inside
+        # the tile, no clamp rewiring — accumulate with ONE contiguous
+        # 5-row block add; each out row still receives exactly one
+        # contribution per rf in ascending-rf order, so bit-exact.
         for r in range(nr):
             rf = rf0 + r
             qq = q[:, r * tw4:(r + 1) * tw4]
             t5 = qq[0:5, 0:tw]
             for kx in range(1, 5):
                 t5 = t5 + qq[5 * kx: 5 * kx + 5, kx:kx + tw]
+            if "rowstencil" not in ablate and 4 <= rf < th \
+                    and rf not in row_extras and not any(
+                        (rf, dy) in row_skips for dy in range(5)):
+                out_ref[rf - 4:rf + 1, :] += t5[:, :]
+                continue
             for dy in range(5):
                 ro = rf - dy
                 if 0 <= ro < th:
@@ -381,13 +392,13 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
 
                         @pl.when(cond)
                         def _(ro=ro, dy=dy, t5=t5):
-                            out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
+                            out_ref[ro:ro + 1, :] += t5[4 - dy:5 - dy, :]
                     else:
-                        out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
+                        out_ref[ro:ro + 1, :] += t5[4 - dy:5 - dy, :]
             for itx, dy, ro in row_extras.get(rf, ()):
                 @pl.when(i == itx)
                 def _(ro=ro, dy=dy, t5=t5):
-                    out_ref[ro:ro + 1, :] += t5[dy:dy + 1, :]
+                    out_ref[ro:ro + 1, :] += t5[4 - dy:5 - dy, :]
 
 
 
