@@ -61,27 +61,43 @@ def ycrcb2bgr_u8(ycrcb):
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+def _descale_f32(x):
+    """CV_DESCALE in float32: floor((x + half) * 2^-14).
+
+    Exact: every intermediate is an integer of magnitude < 2^23 (the
+    largest fixed-point sum is 255*2^14 + delta + half < 2^23), so the f32
+    products/sums are exact, the power-of-two scaling is an exponent
+    shift, and floor of a negative value matches the arithmetic right
+    shift.  Verified exhaustively over the full 2^24 input cube against
+    the integer form.  f32 is used because the TPU VPU multiplies f32 at
+    full rate while int32 multiplies are emulated (measured 18 ms -> ~2 ms
+    for the two conversions at batch-32 1080p).
+    """
+    return jnp.floor((x + jnp.float32(_HALF)) * jnp.float32(2.0 ** -_SHIFT))
+
+
 def bgr2ycrcb_u8_planar(bgr_p):
     """uint8 planar BGR [..., 3, H, W] -> planar YCrCb, OpenCV-bit-exact.
 
     Planar layout keeps W on the lane axis (dense tiles); the channel dim is
-    a cheap leading dim.  Same 14-bit fixed-point arithmetic as above.
+    a cheap leading dim.  Same 14-bit fixed-point arithmetic as above, run
+    in exact f32 (see :func:`_descale_f32`).
     """
-    x = bgr_p.astype(jnp.int32)
+    x = bgr_p.astype(jnp.float32)
     b, g, r = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
-    y = _descale(b * _B2Y + g * _G2Y + r * _R2Y)
-    cr = _descale((r - y) * _R2CR + _DELTA)
-    cb = _descale((b - y) * _B2CB + _DELTA)
+    y = _descale_f32(b * _B2Y + g * _G2Y + r * _R2Y)
+    cr = _descale_f32((r - y) * _R2CR + _DELTA)
+    cb = _descale_f32((b - y) * _B2CB + _DELTA)
     out = jnp.stack([y, cr, cb], axis=-3)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 def ycrcb2bgr_u8_planar(ycrcb_p):
     """uint8 planar YCrCb [..., 3, H, W] -> planar BGR, OpenCV-bit-exact."""
-    x = ycrcb_p.astype(jnp.int32)
+    x = ycrcb_p.astype(jnp.float32)
     y, cr, cb = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
-    b = y + _descale((cb - 128) * _CB2B)
-    g = y + _descale((cb - 128) * _CB2G + (cr - 128) * _CR2G)
-    r = y + _descale((cr - 128) * _CR2R)
+    b = y + _descale_f32((cb - 128) * _CB2B)
+    g = y + _descale_f32((cb - 128) * _CB2G + (cr - 128) * _CR2G)
+    r = y + _descale_f32((cr - 128) * _CR2R)
     out = jnp.stack([b, g, r], axis=-3)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)

@@ -488,6 +488,8 @@ def srcnn_y_fused(y_u8, weights):
         out = jax.lax.map(
             lambda yp: _fused_call(yp, packed, th, tw, true_h=h), y)
         out = out[:, :h, :w]
+        if h >= 8 and w > 8:
+            return _fix_edges_batch(out, y_u8, weights)
         return jax.vmap(lambda o, yy: _fix_edges(o, yy, weights))(out, y_u8)
     h, w = y_u8.shape
     th, tw = _pick_tiles(h, w)
@@ -497,6 +499,8 @@ def srcnn_y_fused(y_u8, weights):
     y = jnp.pad(y_u8, ((6, 10 + hp - h), (6, 122 + wp - w)), mode="edge")
     packed = _prep_weights(weights)
     out = _fused_call(y, packed, th, tw, true_h=h)
+    if h >= 8 and w > 8:
+        return _fix_edges_batch(out[None, :h, :w], y_u8[None], weights)[0]
     return _fix_edges(out[:h, :w], y_u8, weights)
 
 
@@ -535,4 +539,76 @@ def _fix_edges(out, y_u8, weights):
     lr = srcnn_y(jnp.stack([y_u8[:, :cs].T, y_u8[:, w - cs:].T]), wT)
     out = out.at[:, :m].set(lr[0, :m, :].T)
     out = out.at[:, w - m:].set(lr[1, cs - m:, :].T)
+    return out
+
+def _fix_edges_batch(out, y_u8, weights):
+    """Edge-column fix for a whole batch via ONE fused-kernel pass.
+
+    Same semantics as :func:`_fix_edges` (reference feature-level clamp,
+    srcnn.cpp:200-210), restructured for speed: the per-frame XLA strip
+    recompute cost ~9 ms at batch-32 1080p (64 tiny C=1 convs with HBM
+    feature planes), dominated by layout overhead, not math.
+
+    Here all 2B transposed 8-deep edge strips are concatenated along the
+    LANE axis into one ``(8, 2B*(oh+8))`` composite — each strip block
+    carries 4 replicate columns on each side, which reproduces the
+    input-level clamp for every output we keep — and a single
+    ``_fused_call`` with ``true_h=8`` runs over it with the SPATIALLY
+    TRANSPOSED weights (corr2d(x^T, k^T) == corr2d(x, k)^T; conv2 is 1x1).
+    The in-kernel row-clamp plan then gives rows {0,1} (left-strip edges)
+    and {6,7} (right-strip edges) the reference's feature-ROW clamp — which
+    is the original image's feature-COLUMN clamp.  The 2x2 corners
+    additionally need the feature clamp along the composite's lane axis
+    (the original row axis), which the kernel's virtual extension does not
+    provide — they are recomputed from 8x8 corner patches with the
+    split-precision XLA path (both-dim edge pad, as before).
+
+    Numerics: the fused kernel and the XLA split path carry the same
+    ~2^-16 split-precision error as the interior.
+    """
+    from .srcnn import srcnn_y_split
+    from ..weights.loader import SRCNNWeights
+
+    b, h, w = y_u8.shape
+    m = 2
+    wT = SRCNNWeights(
+        conv1_w=jnp.swapaxes(jnp.asarray(weights.conv1_w), -1, -2),
+        conv1_b=weights.conv1_b,
+        conv2_w=weights.conv2_w,
+        conv2_b=weights.conv2_b,
+        conv3_w=jnp.swapaxes(jnp.asarray(weights.conv3_w), -1, -2),
+        conv3_b=weights.conv3_b)
+
+    # (2B, 8, h) transposed strips; left edge at row 0, right edge at row 7
+    strips = jnp.concatenate([
+        jnp.swapaxes(y_u8[:, :, :8], 1, 2),
+        jnp.swapaxes(y_u8[:, :, w - 8:], 1, 2)], axis=0)
+    blocks = jnp.concatenate([
+        jnp.repeat(strips[:, :, :1], 4, axis=2),
+        strips,
+        jnp.repeat(strips[:, :, -1:], 4, axis=2)], axis=2)  # (2B, 8, h+8)
+    wc = 2 * b * (h + 8)
+    comp = jnp.swapaxes(blocks, 0, 1).reshape(8, wc)
+
+    cols = max(1, -(-wc // 3840))
+    tw = max(128, (-(-(-(-wc // cols)) // 128)) * 128)
+    wp = -(-wc // tw) * tw
+    ypad = jnp.pad(comp, ((6, 10), (6, 122 + wp - wc)), mode="edge")
+    cf = _fused_call(ypad, _prep_weights(wT), 8, tw, true_h=8)
+    cf = cf[:, :wc].reshape(8, 2 * b, h + 8)[:, :, 4:4 + h]
+
+    out = out.at[:, :, :m].set(jnp.transpose(cf[:m, :b, :], (1, 2, 0)))
+    out = out.at[:, :, w - m:].set(
+        jnp.transpose(cf[8 - m:, b:, :], (1, 2, 0)))
+
+    # corners: 8x8 patches, both-dim feature clamp via the XLA path
+    pat = jnp.stack([
+        y_u8[:, :8, :8], y_u8[:, :8, w - 8:],
+        y_u8[:, h - 8:, :8], y_u8[:, h - 8:, w - 8:]], axis=1)
+    cout = srcnn_y_split(pat.reshape(4 * b, 8, 8), weights)
+    cout = cout.reshape(b, 4, 8, 8)
+    out = out.at[:, :m, :m].set(cout[:, 0, :m, :m])
+    out = out.at[:, :m, w - m:].set(cout[:, 1, :m, 8 - m:])
+    out = out.at[:, h - m:, :m].set(cout[:, 2, 8 - m:, :m])
+    out = out.at[:, h - m:, w - m:].set(cout[:, 3, 8 - m:, 8 - m:])
     return out

@@ -33,6 +33,7 @@ from __future__ import annotations
 import math
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,6 +74,35 @@ def _hband_split(ow: int, iw: int):
     return _np_split_bf16(mx)
 
 
+def _hband_blocks(ow: int, iw: int):
+    """Block-banded form of the horizontal matrix: per-128-lane group.
+
+    The dense ``[iw, ow]`` band matrix has only 4 non-zeros per column, so
+    the MXU multiplies ~iw/(128*scale) zeros per useful product.  A group
+    of 128 consecutive output columns only reads a ``~128*scale+4``-wide
+    input window; this returns ``(bases, K, Mh, Ml)`` with ``M[g]`` of
+    shape ``(K, 128)`` such that ``out[:, 128g:128g+128] =
+    x[:, bases[g]:bases[g]+K] @ M[g]``.  Exactness: identical integer
+    coefficient entries as the dense band (zeros elsewhere add exactly 0
+    in the f32 accumulator), so the sums are bit-identical.
+    """
+    xi, xic, _ = cv_cubic_tables(ow, iw)
+    ng = -(-ow // 128)
+    bases, spans = [], []
+    for g in range(ng):
+        j0, j1 = g * 128, min(ow, (g + 1) * 128)
+        bases.append(int(xi[j0:j1].min()))
+        spans.append(int(xi[j0:j1].max()) - bases[-1] + 1)
+    k = -(-max(spans) // 16) * 16
+    mx = np.zeros((ng, k, 128), np.float32)
+    for j in range(ow):
+        g, c = divmod(j, 128)
+        for t in range(4):
+            mx[g, xi[j, t] - bases[g], c] += float(xic[j, t])
+    mh, ml = _np_split_bf16(mx)
+    return bases, k, mh, ml
+
+
 def _vphase_plan(oh: int, ih: int):
     """Phase decomposition of the vertical pass, when bitwise-valid.
 
@@ -104,20 +134,109 @@ def _vphase_plan(oh: int, ih: int):
     return None
 
 
-@partial(jnp.vectorize, excluded=(1, 2), signature="(h,w)->(p,q)")
-def _resize_bicubic_u8_2d(img, oh: int, ow: int):
+def _hphase_plan(ow: int, iw: int):
+    """Lane-phase decomposition of the horizontal pass (S == 1 only).
+
+    Mirror of :func:`_vphase_plan` for the column axis, restricted to
+    plans whose source step per period is exactly 1 (true for any integer
+    upscale: x2 -> P=2, x3 -> P=3, ...): each phase's taps are then
+    CONTIGUOUS lane slices ``x[:, b : b+n]``, which XLA streams, instead
+    of a dense band matmul that multiplies ~iw/4 zeros per output.  The
+    integer coefficients must repeat bitwise.  Returns ``(P, left, right,
+    bases, coefs)`` or ``None`` (fallback to the dense matmul).
+    """
+    scale = iw / ow
+    f = ((np.arange(ow, dtype=np.float64) + 0.5) * scale - 0.5).astype(np.float32)
+    s = np.floor(f).astype(np.int64)
+    xi_un = s[:, None] + np.arange(-1, 3)[None, :]   # unclamped taps
+    _, xic, _ = cv_cubic_tables(ow, iw)
+    for P in range(1, 9):
+        if ow <= P:
+            return None
+        if int(s[P] - s[0]) != 1:
+            continue
+        if (xi_un[P:] == xi_un[:-P] + 1).all() and (xic[P:] == xic[:-P]).all():
+            left = max(0, -int(xi_un.min()))
+            right = max(0, int(xi_un.max()) - (iw - 1))
+            return (P, left, right,
+                    [[int(v) + left for v in xi_un[p]] for p in range(P)],
+                    [[np.float32(v) for v in xic[p]] for p in range(P)])
+    return None
+
+
+@partial(jnp.vectorize, excluded=(1, 2, 3), signature="(h,w)->(p,q)")
+def _resize_bicubic_u8_2d(img, oh: int, ow: int, block_h: bool = False):
     ih, iw = img.shape
     yi, _, yfc = cv_cubic_tables(oh, ih)
     # horizontal pass: OpenCV accumulates int32 row sums (HResizeNoVec);
     # the same integer values are produced here by an exact banded matmul
     # on the MXU (the old lane-axis gather form was the whole engine's
     # bottleneck at ~3.5 ms/MP on TPU)
-    mxh, mxl = _hband_split(ow, iw)
-    x = img.astype(jnp.bfloat16)
-    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
-    rows = dot(x, jnp.asarray(mxh)) + dot(x, jnp.asarray(mxl))
-    # vertical pass: float32, right-to-left separate mul/add with OpenCV's
-    # per-product roundings (SIMD VResizeCubic)
+    hplan = _hphase_plan(ow, iw) if not block_h else None
+    if hplan is not None:
+        # lane-phase form (integer upscales): each phase's taps are
+        # contiguous lane slices x scalar int coefficients — the identical
+        # integer sums (every product/sum < 2^22, exact in f32), with the
+        # vertical pass applied per phase and the u8 phases lane-interleaved
+        # at the end (1 byte/px instead of a 4-byte f32 relayout)
+        P, left, right, pbases, pcoefs = hplan
+        xp = jnp.concatenate(
+            ([jnp.repeat(img[:, :1], left, axis=1)] if left else [])
+            + [img]
+            + ([jnp.repeat(img[:, -1:], right, axis=1)] if right else []),
+            axis=1).astype(jnp.float32)
+        nmax = -(-ow // P)
+        cols = []
+        for p in range(P):
+            n = len(range(p, ow, P))
+            r = xp[:, pbases[p][3]: pbases[p][3] + n] * pcoefs[p][3]
+            for k in (2, 1, 0):
+                r = xp[:, pbases[p][k]: pbases[p][k] + n] * pcoefs[p][k] + r
+            u = _vpass(r, oh, ih, yi, yfc)        # (oh, n) u8
+            if n < nmax:
+                u = jnp.pad(u, ((0, 0), (0, nmax - n)))
+            cols.append(u)
+        out = jnp.stack(cols, axis=2).reshape(oh, nmax * P)
+        return out[:, :ow]
+    # NOTE: the dense band matmul multiplies mostly zeros, but an on-chip
+    # in-pipeline A/B (benchmarks/pipe_ablate.py) measured the block-banded
+    # form 2.5 ms SLOWER at batch-32 1080p — the per-group stack/transpose
+    # relayouts cost more than the MXU idle-FLOPs they save.  Dense stays
+    # the default; block_h=True keeps the banded form for A/Bs.
+    blocks = _hband_blocks(ow, iw) if ow > 128 and block_h else None
+    if blocks is not None and iw >= 2 * blocks[1]:
+        # block-banded: ~iw/K fewer (all-zero) MXU FLOPs, bit-identical sums
+        bases, k, bh, bl = blocks
+        iw_pad = max(b + k for b in bases)
+        xp = img.astype(jnp.bfloat16)
+        if iw_pad > iw:
+            xp = jnp.pad(xp, ((0, 0), (0, iw_pad - iw)))
+        xg = jnp.stack([xp[:, b:b + k] for b in bases])    # (G, ih, K)
+
+        def dg(a, b):
+            return jax.lax.dot_general(
+                a, b, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        res = dg(xg, jnp.asarray(bh)) + dg(xg, jnp.asarray(bl))
+        rows = jnp.transpose(res, (1, 0, 2)).reshape(
+            ih, len(bases) * 128)[:, :ow]
+    else:
+        mxh, mxl = _hband_split(ow, iw)
+        x = img.astype(jnp.bfloat16)
+        dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+        rows = dot(x, jnp.asarray(mxh)) + dot(x, jnp.asarray(mxl))
+    return _vpass(rows, oh, ih, yi, yfc)
+
+
+def _vpass(rows, oh: int, ih: int, yi, yfc):
+    """Vertical pass on int-valued f32 ``rows`` of any column count.
+
+    float32, right-to-left separate mul/add with OpenCV's per-product
+    roundings (SIMD VResizeCubic); phased (strided-slice) form when the
+    tables are bitwise-periodic, per-row gathers otherwise.
+    """
+    ncols = rows.shape[1]
     plan = _vphase_plan(oh, ih)
     if plan is not None:
         # phased form: replicate row padding realizes the index clamp, each
@@ -140,7 +259,7 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int):
             if n < nmax:
                 u = jnp.pad(u, ((0, nmax - n), (0, 0)))
             phases.append(u)
-        out = jnp.stack(phases, axis=1).reshape(nmax * P, ow)
+        out = jnp.stack(phases, axis=1).reshape(nmax * P, ncols)
         return out[:oh]
     r = rows[yi[:, 3], :] * yfc[:, 3][:, None]
     for k in (2, 1, 0):
@@ -148,14 +267,16 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int):
     return jnp.clip(jnp.round(r), 0, 255).astype(jnp.uint8)
 
 
-def resize_bicubic_u8(img, out_hw: tuple[int, int]):
+def resize_bicubic_u8(img, out_hw: tuple[int, int], block_h: bool = False):
     """OpenCV-4.6-bit-exact INTER_CUBIC resize of uint8 planes.
 
     ``img``: uint8 ``[..., H, W]`` (leading dims vectorized). ``out_hw``:
     static ``(out_h, out_w)``.  Returns uint8 ``[..., out_h, out_w]``.
+    ``block_h=True`` selects the block-banded horizontal pass (bit-identical;
+    measured slower in-pipeline — kept for A/B benchmarking).
     """
     oh, ow = int(out_hw[0]), int(out_hw[1])
-    return _resize_bicubic_u8_2d(img, oh, ow)
+    return _resize_bicubic_u8_2d(img, oh, ow, block_h)
 
 
 def _np_split_bf16(m: np.ndarray):

@@ -155,3 +155,14 @@ def test_vphase_plan_detection_and_fallback():
     assert _vphase_plan(103, 69) is None
     # degenerate small output falls back rather than indexing out of range
     assert _vphase_plan(2, 7) is None
+
+
+def test_block_banded_hpass_bit_identical(cv46_cases):
+    # the block-banded horizontal pass (A/B option) must match the dense
+    # default bitwise wherever it engages (ow > 128, iw >= 2K)
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+    import numpy as np
+
+    for src, ref in cv46_cases:
+        out = np.asarray(resize_bicubic_u8(src, ref.shape, block_h=True))
+        assert np.array_equal(out, ref), (src.shape, ref.shape)
