@@ -7,6 +7,7 @@ dependency exactly like bench.py, interleaved best-of-N):
 
   full        : color-in + resize(dense-h) + conv(pallas) + strips + color-out
   block-h     : same but block-banded horizontal resize pass
+  phase-h     : same but lane-phase strided-slice horizontal pass
   int-color   : same as full but int32 fixed-point color (the pre-f32 form)
   no-color    : ycc passthrough (resize + conv + strips only)
   no-edgefix  : full minus the left/right strip recompute
@@ -75,9 +76,10 @@ def main() -> None:
     wp = ((ow + tw - 1) // tw) * tw
     packed = jax.tree_util.tree_map(jnp.asarray, _prep_weights(weights))
 
-    def pipe(x, *, color="f32", block_h=False, conv="fused", edgefix=True):
+    def pipe(x, *, color="f32", hmode="dense", conv="fused", edgefix=True,
+             pack=True):
         ycc = (bgr2ycrcb_int if color == "int" else bgr2ycrcb_u8_planar)(x)
-        up = resize_bicubic_u8(ycc, (oh, ow), block_h)
+        up = resize_bicubic_u8(ycc, (oh, ow), hmode)
         if conv == "none":
             y_sr = up[:, 0]
         elif not edgefix:
@@ -87,16 +89,18 @@ def main() -> None:
                 lambda p: _fused_call(p, packed, th, tw, true_h=oh),
                 y)[:, :oh, :ow]
         else:
-            y_sr = srcnn_y_fused(up[:, 0], weights)
+            y_sr = srcnn_y_fused(up[:, 0], weights, pack=pack)
         merged = jnp.stack([y_sr, up[:, 1], up[:, 2]], axis=-3)
         return (ycrcb2bgr_int if color == "int" else ycrcb2bgr_u8_planar)(
             merged)
 
     variants = {
         "full": jax.jit(partial(pipe)),
-        "block-h": jax.jit(partial(pipe, block_h=True)),
+        "block-h": jax.jit(partial(pipe, hmode="block")),
+        "phase-h": jax.jit(partial(pipe, hmode="phase")),
         "int-color": jax.jit(partial(pipe, color="int")),
         "no-edgefix": jax.jit(partial(pipe, edgefix=False)),
+        "no-pack": jax.jit(partial(pipe, pack=False)),
         "no-conv": jax.jit(partial(pipe, conv="none")),
     }
 
@@ -132,6 +136,8 @@ def main() -> None:
           f"{1e3*(best['block-h'] - best['full']):6.2f} ms")
     print(f"f32-color gain (int - full)  : "
           f"{1e3*(best['int-color'] - best['full']):6.2f} ms")
+    print(f"pack gain (no-pack - full)   : "
+          f"{1e3*(best['no-pack'] - best['full']):6.2f} ms")
 
 
 if __name__ == "__main__":

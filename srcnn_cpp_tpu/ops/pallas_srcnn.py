@@ -466,7 +466,7 @@ def _pick_tiles(h: int, w: int) -> tuple[int, int]:
     return th, tw
 
 
-def srcnn_y_fused(y_u8, weights):
+def srcnn_y_fused(y_u8, weights, pack: bool = True):
     """uint8 Y plane(s) ``[H, W]`` / ``[B, H, W]`` -> uint8, fused kernel.
 
     Matches the XLA/oracle path to <=1 quantization LSB (the split-precision
@@ -475,10 +475,31 @@ def srcnn_y_fused(y_u8, weights):
     feature-level clamp via the 2-px frame recompute in :func:`_fix_edges`.
     """
     if y_u8.ndim == 3:
-        # batch: lax.map runs the kernel per frame inside one jit (a vmap'd
-        # pallas_call with an ANY-memory operand is not batchable on TPU;
-        # sequential invocations lose nothing on a single core)
-        h, w = y_u8.shape[1:]
+        b, h, w = y_u8.shape
+        if pack and b > 1 and h >= 8 and w > 8:
+            # pack the batch on the LANE axis: frames concatenated with 4+4
+            # replicate columns (input-level clamp for every non-corner
+            # output; the 2-px frame is recomputed by the edge fix anyway)
+            # -> ONE kernel call with full-width (<=3840) tiles.  vs the
+            # per-frame lax.map at tw=w this halves the per-feature-row op
+            # issues for w around 1920 and drops the per-frame invocation
+            # overhead; true_h applies to all frames at once (same height).
+            blocks = jnp.concatenate([
+                jnp.repeat(y_u8[:, :, :1], 4, axis=2), y_u8,
+                jnp.repeat(y_u8[:, :, -1:], 4, axis=2)], axis=2)
+            wc = b * (w + 8)
+            comp = jnp.swapaxes(blocks, 0, 1).reshape(h, wc)
+            th, tw = _pick_tiles(h, wc)
+            hp = ((h + th - 1) // th) * th
+            wp = ((wc + tw - 1) // tw) * tw
+            ypad = jnp.pad(comp, ((6, 10 + hp - h), (6, 122 + wp - wc)),
+                           mode="edge")
+            out = _fused_call(ypad, _prep_weights(weights), th, tw, true_h=h)
+            out = out[:h, :wc].reshape(h, b, w + 8)[:, :, 4:4 + w]
+            return _fix_edges_batch(jnp.swapaxes(out, 0, 1), y_u8, weights)
+        # fallback: lax.map runs the kernel per frame inside one jit (a
+        # vmap'd pallas_call with an ANY-memory operand is not batchable on
+        # TPU; sequential invocations lose nothing on a single core)
         th, tw = _pick_tiles(h, w)
         hp = ((h + th - 1) // th) * th
         wp = ((w + tw - 1) // tw) * tw

@@ -165,14 +165,14 @@ def _hphase_plan(ow: int, iw: int):
 
 
 @partial(jnp.vectorize, excluded=(1, 2, 3), signature="(h,w)->(p,q)")
-def _resize_bicubic_u8_2d(img, oh: int, ow: int, block_h: bool = False):
+def _resize_bicubic_u8_2d(img, oh: int, ow: int, hmode: str = "dense"):
     ih, iw = img.shape
     yi, _, yfc = cv_cubic_tables(oh, ih)
     # horizontal pass: OpenCV accumulates int32 row sums (HResizeNoVec);
     # the same integer values are produced here by an exact banded matmul
     # on the MXU (the old lane-axis gather form was the whole engine's
     # bottleneck at ~3.5 ms/MP on TPU)
-    hplan = _hphase_plan(ow, iw) if not block_h else None
+    hplan = _hphase_plan(ow, iw) if hmode == "phase" else None
     if hplan is not None:
         # lane-phase form (integer upscales): each phase's taps are
         # contiguous lane slices x scalar int coefficients — the identical
@@ -203,7 +203,7 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int, block_h: bool = False):
     # form 2.5 ms SLOWER at batch-32 1080p — the per-group stack/transpose
     # relayouts cost more than the MXU idle-FLOPs they save.  Dense stays
     # the default; block_h=True keeps the banded form for A/Bs.
-    blocks = _hband_blocks(ow, iw) if ow > 128 and block_h else None
+    blocks = _hband_blocks(ow, iw) if ow > 128 and hmode == "block" else None
     if blocks is not None and iw >= 2 * blocks[1]:
         # block-banded: ~iw/K fewer (all-zero) MXU FLOPs, bit-identical sums
         bases, k, bh, bl = blocks
@@ -267,16 +267,25 @@ def _vpass(rows, oh: int, ih: int, yi, yfc):
     return jnp.clip(jnp.round(r), 0, 255).astype(jnp.uint8)
 
 
-def resize_bicubic_u8(img, out_hw: tuple[int, int], block_h: bool = False):
+def resize_bicubic_u8(img, out_hw: tuple[int, int], hmode: str = "dense"):
     """OpenCV-4.6-bit-exact INTER_CUBIC resize of uint8 planes.
 
     ``img``: uint8 ``[..., H, W]`` (leading dims vectorized). ``out_hw``:
     static ``(out_h, out_w)``.  Returns uint8 ``[..., out_h, out_w]``.
-    ``block_h=True`` selects the block-banded horizontal pass (bit-identical;
-    measured slower in-pipeline — kept for A/B benchmarking).
+
+    ``hmode`` selects the horizontal-pass implementation — all three are
+    bit-identical; on-chip in-pipeline A/Bs (benchmarks/pipe_ablate.py)
+    measured "dense" fastest, so it is the default:
+
+    * ``"dense"`` — dense banded matmul on the MXU (mostly zero FLOPs, but
+      zero relayouts; the MXU has idle capacity in this pipeline);
+    * ``"block"`` — block-banded matmul (~iw/K fewer FLOPs; loses ~3 ms at
+      batch-32 1080p to per-group stack/transpose relayouts);
+    * ``"phase"`` — lane-phase strided-slice form for integer upscales
+      (minimal FLOPs; loses ~4 ms to the final u8 lane interleave).
     """
     oh, ow = int(out_hw[0]), int(out_hw[1])
-    return _resize_bicubic_u8_2d(img, oh, ow, block_h)
+    return _resize_bicubic_u8_2d(img, oh, ow, hmode)
 
 
 def _np_split_bf16(m: np.ndarray):

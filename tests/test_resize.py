@@ -157,12 +157,13 @@ def test_vphase_plan_detection_and_fallback():
     assert _vphase_plan(2, 7) is None
 
 
-def test_block_banded_hpass_bit_identical(cv46_cases):
-    # the block-banded horizontal pass (A/B option) must match the dense
-    # default bitwise wherever it engages (ow > 128, iw >= 2K)
+def test_alternate_hpass_modes_bit_identical(cv46_cases):
+    # the block-banded and lane-phase horizontal passes (A/B options) must
+    # match the dense default bitwise wherever they engage
     from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
     import numpy as np
 
     for src, ref in cv46_cases:
-        out = np.asarray(resize_bicubic_u8(src, ref.shape, block_h=True))
-        assert np.array_equal(out, ref), (src.shape, ref.shape)
+        for hmode in ("block", "phase"):
+            out = np.asarray(resize_bicubic_u8(src, ref.shape, hmode=hmode))
+            assert np.array_equal(out, ref), (hmode, src.shape, ref.shape)
