@@ -132,3 +132,30 @@ def test_fused_straddle_bottom_tile(weights):
     out = np.asarray(_fix_edges(out[:h, :w], jnp.asarray(y), weights))
     d = np.abs(ref.astype(int) - out.astype(int))
     assert d.max() <= 1, f"max LSB {d.max()}"
+
+
+def test_fused_edge_and_corner_semantics(weights):
+    # Adversarial border content: saturated frame, gradients, and a batch
+    # whose frames differ at the packing seams — locks the composite strip
+    # edge fix (feature-column clamp) and the 8x8 corner recompute against
+    # the XLA reference path on exactly the pixels they own.
+    from srcnn_cpp_tpu.ops.pallas_srcnn import srcnn_y_fused
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+
+    h, w = 48, 200
+    g = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = ((g[0] * 37 + g[1] * 11) % 256).astype(np.uint8)
+    img[:3, :] = 255
+    img[:, :3] = 0
+    img[-3:, :] = 255
+    img[:, -3:] = 0
+    batch = np.stack([img, 255 - img, np.roll(img, 7, axis=1)])
+    ref = np.asarray(srcnn_y(batch, weights)).astype(int)
+    out = np.asarray(srcnn_y_fused(batch, weights)).astype(int)
+    d = np.abs(ref - out)
+    # border region (the edge fix's responsibility) must hold the same
+    # <=1 LSB budget as the interior
+    assert d.max() <= 1, d.max()
+    border = np.ones_like(d, bool)
+    border[:, 3:-3, 3:-3] = False
+    assert d[border].max() <= 1
