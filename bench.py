@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 BASELINE_MPS = 0.0178  # reference binary, test.jpg x2, this host
-BATCH = 32
+BATCH = 64  # batch sweep (benchmarks/batch_sweep.py): 16/32/64 -> 1108/1332/1375 MP/s
 ITERS = 6
 KERNEL = "pallas"  # fused single-pass kernel (ops/pallas_srcnn.py)
 # the accuracy-gated configuration: the exact engine's horizontal pass is
