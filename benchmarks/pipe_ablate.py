@@ -9,8 +9,8 @@ dependency exactly like bench.py, interleaved best-of-N):
   block-h     : same but block-banded horizontal resize pass
   phase-h     : same but lane-phase strided-slice horizontal pass
   int-color   : same as full but int32 fixed-point color (the pre-f32 form)
-  no-color    : ycc passthrough (resize + conv + strips only)
-  no-edgefix  : full minus the left/right strip recompute
+  no-edgefix  : full minus the left/right strip recompute (per-frame conv)
+  no-pack     : full with the per-frame lax.map conv (no lane packing)
   no-conv     : full minus SRCNN (bicubic-only pipeline)
 
 Usage (real TPU):

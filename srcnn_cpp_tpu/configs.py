@@ -21,8 +21,10 @@ from .weights import SRCNNWeights, load_weights
 
 
 def batch_1080p_to_4k(weights: SRCNNWeights | None = None, batch: int = 32,
-                      kernel: str = "pallas", resize: str = "fast"):
-    """Runner: BGR uint8 [B,H,W,3] -> upscaled x2, tuned for throughput."""
+                      kernel: str = "pallas", resize: str = "exact"):
+    """Runner: BGR uint8 [B,H,W,3] -> x2, bit-exact path (the exact
+    resize engine now matches the fast one to ~12%, so the production
+    default is the accuracy-gated configuration)."""
     from .pipeline import upscale_bgr_batch
 
     weights = weights if weights is not None else load_weights()

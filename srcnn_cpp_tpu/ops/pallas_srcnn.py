@@ -541,7 +541,6 @@ def _fix_edges(out, y_u8, weights):
     kernel.
     """
     from .srcnn import srcnn_y_split as srcnn_y
-    from ..weights.loader import SRCNNWeights
 
     h, w = y_u8.shape
     cs = min(w, 8)    # strip depth: exact minimum interior context
@@ -550,17 +549,29 @@ def _fix_edges(out, y_u8, weights):
     # layout (measured 33 ms of a 110 ms batch-32 1080p dispatch).  Run them
     # TRANSPOSED instead: corr2d(x^T, k^T) == corr2d(x, k)^T, and conv2 is
     # 1x1, so spatially transposing the conv1/conv3 taps suffices.
-    wT = SRCNNWeights(
+    lr = srcnn_y(jnp.stack([y_u8[:, :cs].T, y_u8[:, w - cs:].T]),
+                 _transpose_weights(weights))
+    out = out.at[:, :m].set(lr[0, :m, :].T)
+    out = out.at[:, w - m:].set(lr[1, cs - m:, :].T)
+    return out
+
+
+def _transpose_weights(weights):
+    """Spatially transposed taps: corr2d(x^T, k^T) == corr2d(x, k)^T.
+
+    conv2 is 1x1, so swapping the conv1/conv3 spatial axes suffices for
+    running the stack on transposed planes.
+    """
+    from ..weights.loader import SRCNNWeights
+
+    return SRCNNWeights(
         conv1_w=jnp.swapaxes(jnp.asarray(weights.conv1_w), -1, -2),
         conv1_b=weights.conv1_b,
         conv2_w=weights.conv2_w,
         conv2_b=weights.conv2_b,
         conv3_w=jnp.swapaxes(jnp.asarray(weights.conv3_w), -1, -2),
         conv3_b=weights.conv3_b)
-    lr = srcnn_y(jnp.stack([y_u8[:, :cs].T, y_u8[:, w - cs:].T]), wT)
-    out = out.at[:, :m].set(lr[0, :m, :].T)
-    out = out.at[:, w - m:].set(lr[1, cs - m:, :].T)
-    return out
+
 
 def _fix_edges_batch(out, y_u8, weights):
     """Edge-column fix for a whole batch via ONE fused-kernel pass.
@@ -588,18 +599,9 @@ def _fix_edges_batch(out, y_u8, weights):
     ~2^-16 split-precision error as the interior.
     """
     from .srcnn import srcnn_y_split
-    from ..weights.loader import SRCNNWeights
 
     b, h, w = y_u8.shape
     m = 2
-    wT = SRCNNWeights(
-        conv1_w=jnp.swapaxes(jnp.asarray(weights.conv1_w), -1, -2),
-        conv1_b=weights.conv1_b,
-        conv2_w=weights.conv2_w,
-        conv2_b=weights.conv2_b,
-        conv3_w=jnp.swapaxes(jnp.asarray(weights.conv3_w), -1, -2),
-        conv3_b=weights.conv3_b)
-
     # (2B, 8, h) transposed strips; left edge at row 0, right edge at row 7
     strips = jnp.concatenate([
         jnp.swapaxes(y_u8[:, :, :8], 1, 2),
@@ -611,11 +613,11 @@ def _fix_edges_batch(out, y_u8, weights):
     wc = 2 * b * (h + 8)
     comp = jnp.swapaxes(blocks, 0, 1).reshape(8, wc)
 
-    cols = max(1, -(-wc // 3840))
-    tw = max(128, (-(-(-(-wc // cols)) // 128)) * 128)
+    _, tw = _pick_tiles(8, wc)
     wp = -(-wc // tw) * tw
     ypad = jnp.pad(comp, ((6, 10), (6, 122 + wp - wc)), mode="edge")
-    cf = _fused_call(ypad, _prep_weights(wT), 8, tw, true_h=8)
+    cf = _fused_call(ypad, _prep_weights(_transpose_weights(weights)),
+                     8, tw, true_h=8)
     cf = cf[:, :wc].reshape(8, 2 * b, h + 8)[:, :, 4:4 + h]
 
     out = out.at[:, :, :m].set(jnp.transpose(cf[:m, :b, :], (1, 2, 0)))

@@ -202,7 +202,7 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int, hmode: str = "dense"):
     # in-pipeline A/B (benchmarks/pipe_ablate.py) measured the block-banded
     # form 2.5 ms SLOWER at batch-32 1080p — the per-group stack/transpose
     # relayouts cost more than the MXU idle-FLOPs they save.  Dense stays
-    # the default; block_h=True keeps the banded form for A/Bs.
+    # the default; hmode="block" keeps the banded form for A/Bs.
     blocks = _hband_blocks(ow, iw) if ow > 128 and hmode == "block" else None
     if blocks is not None and iw >= 2 * blocks[1]:
         # block-banded: ~iw/K fewer (all-zero) MXU FLOPs, bit-identical sums

@@ -159,3 +159,15 @@ def test_fused_edge_and_corner_semantics(weights):
     border = np.ones_like(d, bool)
     border[:, 3:-3, 3:-3] = False
     assert d[border].max() <= 1
+
+
+def test_fused_pack_false_matches_packed(weights):
+    # the per-frame lax.map fallback (pack=False) must agree bitwise with
+    # the packed composite default
+    from srcnn_cpp_tpu.ops.pallas_srcnn import srcnn_y_fused
+
+    y = np.random.default_rng(11).integers(0, 256, (2, 24, 150),
+                                           dtype=np.uint8)
+    a = np.asarray(srcnn_y_fused(y, weights, pack=True))
+    b = np.asarray(srcnn_y_fused(y, weights, pack=False))
+    assert np.array_equal(a, b)
