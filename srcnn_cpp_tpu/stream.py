@@ -11,6 +11,13 @@ the device so host-side decode/encode overlaps TPU compute, plus a CLI:
 Dispatch is asynchronous in JAX: ``push`` enqueues the jitted pipeline and
 returns immediately; results materialize on ``pop`` (device->host fetch),
 which only blocks once the pipeline depth is reached.
+
+NOTE on measuring throughput here: a stream run round-trips every frame
+through host memory by design (decode in, encode out).  On a production
+host that transfer is PCIe-speed; on this repo's development tunnel it is
+~10-30 MB/s, which caps any stream benchmark at a few fps regardless of
+``batch`` — use bench.py / benchmarks/batch_sweep.py (device-resident
+frames) for compute throughput.
 """
 
 from __future__ import annotations
@@ -26,43 +33,70 @@ from .weights import SRCNNWeights, load_weights
 
 
 class StreamUpscaler:
-    """Pipelined frame upscaler with a fixed number of frames in flight."""
+    """Pipelined frame upscaler with a fixed number of dispatches in flight.
+
+    ``batch`` > 1 micro-batches consecutive frames into one dispatch so the
+    stream rides the packed batch path (lane-axis frame packing in the
+    fused kernel + per-dispatch overhead amortization — the difference
+    between ~1,100 and ~1,375 MP/s at 1080p on a v5e chip).  Outputs are
+    bit-identical to batch=1 (the packed conv is bitwise equal to the
+    per-frame kernel; resize/color are per-frame vectorized ops), and
+    frame order is preserved.  Latency grows by up to ``batch-1`` frames.
+    """
 
     def __init__(self, scale: float, weights: SRCNNWeights | None = None,
-                 kernel: str = "pallas", depth: int = 3):
+                 kernel: str = "pallas", depth: int = 3, batch: int = 1):
         self.scale = float(scale)
         self.kernel = kernel
         self.depth = int(depth)
+        self.batch = max(1, int(batch))
         self.weights = weights if weights is not None else load_weights()
+        self._pending: list[np.ndarray] = []
         self._inflight: collections.deque = collections.deque()
+        self._ready: collections.deque = collections.deque()
+
+    def _dispatch(self) -> None:
+        from .pipeline import upscale_bgr_batch
+
+        self._inflight.append(upscale_bgr_batch(
+            np.stack(self._pending), self.scale, self.weights,
+            kernel=self.kernel))
+        self._pending = []
+
+    def _complete_oldest(self) -> None:
+        self._ready.extend(np.asarray(self._inflight.popleft()))
 
     def push(self, frame_bgr: np.ndarray) -> np.ndarray | None:
         """Enqueue one frame; returns a completed frame or None."""
-        from .pipeline import upscale_bgr
-
-        out = upscale_bgr(frame_bgr, self.scale, self.weights,
-                          kernel=self.kernel)
-        self._inflight.append(out)
+        self._pending.append(np.asarray(frame_bgr))
+        if len(self._pending) == self.batch:
+            self._dispatch()
         if len(self._inflight) > self.depth:
-            return np.asarray(self._inflight.popleft())
-        return None
+            self._complete_oldest()
+        return self._ready.popleft() if self._ready else None
 
     def drain(self):
         """Yield all remaining frames in order."""
+        if self._pending:
+            self._dispatch()
         while self._inflight:
-            yield np.asarray(self._inflight.popleft())
+            self._complete_oldest()
+        while self._ready:
+            yield self._ready.popleft()
 
 
 def run_synthetic(n: int, size: tuple[int, int], scale: float,
-                  kernel: str) -> dict:
+                  kernel: str, batch: int = 1) -> dict:
     """Throughput benchmark over synthetic frames; returns fps/MP/s."""
     h, w = size
     rng = np.random.default_rng(0)
     frame = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    up = StreamUpscaler(scale, kernel=kernel)
-    out = up.push(frame)  # compile
+    up = StreamUpscaler(scale, kernel=kernel, batch=batch)
+    for _ in range(up.batch):  # compile the full-batch dispatch shape
+        up.push(frame)
     for _ in up.drain():
         pass
+    n -= n % up.batch  # avoid compiling a second (partial-batch) shape
     t0 = time.monotonic()
     done = 0
     for i in range(n):
@@ -79,7 +113,7 @@ def run_synthetic(n: int, size: tuple[int, int], scale: float,
 
 
 def run_video(src: str, dst: str, scale: float, kernel: str,
-              verbose: bool = True) -> int:
+              verbose: bool = True, batch: int = 1) -> int:
     try:
         import cv2
     except Exception:
@@ -90,7 +124,7 @@ def run_video(src: str, dst: str, scale: float, kernel: str,
         print(f"stream: cannot open {src!r}", file=sys.stderr)
         return 1
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-    up = StreamUpscaler(scale, kernel=kernel)
+    up = StreamUpscaler(scale, kernel=kernel, batch=batch)
     writer = None
     n = 0
     t0 = time.monotonic()
@@ -133,18 +167,23 @@ def main(argv=None) -> int:
                     help="benchmark N synthetic frames instead of a file")
     ap.add_argument("--size", default="1920x1080",
                     help="synthetic frame WxH")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="micro-batch size per dispatch (bit-identical; "
+                         "higher throughput, +batch-1 frames latency)")
     args = ap.parse_args(argv)
 
     if args.synthetic:
         w, h = (int(t) for t in args.size.lower().split("x"))
-        r = run_synthetic(args.synthetic, (h, w), args.scale, args.kernel)
+        r = run_synthetic(args.synthetic, (h, w), args.scale, args.kernel,
+                          batch=args.batch)
         print(f"synthetic {r['frames']} frames {args.size} x{args.scale:g}: "
               f"{r['fps']:.1f} fps  ({r['mps']:.0f} MP/s output)")
         return 0
     if not args.src or not args.dst:
         ap.print_help()
         return 1
-    return run_video(args.src, args.dst, args.scale, args.kernel)
+    return run_video(args.src, args.dst, args.scale, args.kernel,
+                     batch=args.batch)
 
 
 if __name__ == "__main__":

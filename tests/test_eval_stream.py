@@ -88,3 +88,24 @@ def test_evaluate_default_kernel_matches_cli_default():
     cli_default = parse_args(["x.png"])["kernel"]
     eval_default = inspect.signature(evaluate_image).parameters["kernel"].default
     assert eval_default == cli_default
+
+
+def test_stream_micro_batch_bit_identical_and_ordered(weights):
+    # batch=3 micro-batching must emit the same frames in the same order
+    # as batch=1 (the packed conv is bitwise equal to per-frame runs)
+    from srcnn_cpp_tpu.stream import StreamUpscaler
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+              for _ in range(7)]
+
+    def collect(batch):
+        up = StreamUpscaler(1.5, weights=weights, batch=batch, depth=1)
+        outs = [o for f in frames if (o := up.push(f)) is not None]
+        outs.extend(up.drain())
+        return outs
+
+    a, b = collect(1), collect(3)
+    assert len(a) == len(b) == len(frames)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
