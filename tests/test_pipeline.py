@@ -155,3 +155,18 @@ def test_process_srcnn_rgba():
     a_ref = resize_bicubic_u8_np(
         buf.reshape(h, w, 4)[..., 3], (2 * h, 2 * w))
     assert np.array_equal(rgba[..., 3], a_ref)
+
+
+def test_tiny_image_shapes(weights):
+    # degenerate geometries exercise every border fallback: w<=8 strip
+    # fallback, h<8 corner fallback, single-pixel planes
+    import numpy as np
+    from srcnn_cpp_tpu.pipeline import upscale_bgr
+    from srcnn_cpp_tpu.ops.resize import scaled_size
+
+    rng = np.random.default_rng(0)
+    for (h, w) in [(7, 5), (8, 9), (5, 40), (40, 5), (1, 1)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = np.asarray(upscale_bgr(img, 2.0, weights))
+        ow, oh = scaled_size(w, h, 2.0)
+        assert out.shape == (oh, ow, 3), (h, w, out.shape)
