@@ -173,7 +173,14 @@ def main(argv=None) -> int:
                   f"**Gate:** max |ΔPSNR| = {worst_d:.4f} dB (< 0.05 "
                   f"required), max LSB diff = {worst_lsb} -> "
                   f"**{'PASS' if ok else 'FAIL'}**", ""]
-        Path(args.out).write_text("\n".join(lines))
+        # preserve any hand-written sections after the end marker (e.g. the
+        # evaluate.py protocol table and the fine-tuning demonstration)
+        marker = "<!-- eval_suite:end -->"
+        out_path = Path(args.out)
+        tail = ""
+        if out_path.exists() and marker in (prev := out_path.read_text()):
+            tail = prev[prev.index(marker):]
+        out_path.write_text("\n".join(lines) + (("\n" + tail) if tail else ""))
     return 0 if ok else 1
 
 
