@@ -448,18 +448,21 @@ def _fused_call(y_pad, packed, th: int, tw: int,
 def _pick_tiles(h: int, w: int) -> tuple[int, int]:
     """Tile sizes: th rows x tw cols per program, VMEM-bounded.
 
-    Round-2 on-device sweep at 4K (stacked kernel, KERNEL_NOTES.md): MP/s
-    rises monotonically with tile area — (16,640) 671 -> (32,1280) 855 ->
-    (64,1280) 881 -> (64,3840) 923; (96,1280) regresses (VMEM pressure).
-    The cost model: per-feature-row work is amortized over tw pixels, and
-    redundant halo rows per tile fall as (th+4)/th — so take the FULL image
-    width (capped at 3840, where cc + intermediates stay ~11 MB of the
-    ~16 MB VMEM) and th=64.  tw is a lane multiple (128); th a sublane
-    multiple (8), shrunk for short images to avoid padding blowup.
+    Round-2 on-device sweeps (stacked kernel, KERNEL_NOTES.md): MP/s rises
+    monotonically with tile area — (16,640) 671 -> (32,1280) 855 ->
+    (64,1280) 881 -> (64,3840) 923 at single-4K; at the packed batch
+    geometry (72,3712)/(80,3712) beat (64,3712) by 2.7-3.5% (fewer halo
+    rows; 72 divides 1080, 80 divides 2160); (96,1280) regresses (VMEM
+    pressure), so th caps at 80.  The cost model: per-feature-row work is
+    amortized over tw pixels, and redundant halo rows per tile fall as
+    (th+4)/th — so take the FULL image width (capped at 3840, where cc +
+    intermediates stay ~11 MB of the ~16 MB VMEM) and the tallest
+    non-spilling th.  tw is a lane multiple (128); th a sublane multiple
+    (8), shrunk for short images to avoid padding blowup.
     """
     # th: minimize total feature rows computed, ceil(h/th) * (th + 4 halo),
-    # over sublane-multiple heights up to 64 (ties -> taller, fewer tiles)
-    th = min((-(-h // t) * (t + 4), -t) for t in range(8, 72, 8))
+    # over sublane-multiple heights up to 80 (ties -> taller, fewer tiles)
+    th = min((-(-h // t) * (t + 4), -t) for t in range(8, 88, 8))
     th = -th[1]
     cols = max(1, -(-w // 3840))
     tw = max(128, -(-(-(-w // cols)) // 128) * 128)
