@@ -47,25 +47,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.quantize import quantize_trunc_u8
+from ..ops.quantize import quantize_trunc_u8, split_hi_lo
 
 #: conv1 taps (81) padded to a bf16 sublane multiple
 _KTAPS = 96
 
 
 def _split_hi_lo(x):
-    """f32 -> (hi, lo) bf16 pair with hi+lo ~= x to ~2^-16 relative.
+    """Shared excess-precision-proof hi/lo split (see ops/quantize.py)."""
+    return split_hi_lo(x)
 
-    The split is computed by integer masking (top 16 bits = exactly the
-    bf16-representable truncation), NOT by ``bf16(x)`` roundtrips: XLA runs
-    with --xla_allow_excess_precision, which folds ``x - f32(bf16(x))`` to
-    zero and silently destroys the compensation term.
-    """
-    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    hi32 = jax.lax.bitcast_convert_type(
-        bits & jnp.uint32(0xFFFF0000), jnp.float32)
-    lo = x - hi32
-    return hi32.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+def _split_vmem(x):
+    """The same split inside a Pallas kernel (Mosaic bitcast)."""
+    return split_hi_lo(x, bitcast=pltpu.bitcast)
 
 
 def _prep_weights(weights, stacked: bool = True):
@@ -149,11 +144,7 @@ def _kernel(y_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, w3h_ref, w3l_ref,
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    def split(x):
-        # excess-precision-proof hi/lo split (see _split_hi_lo)
-        bits = pltpu.bitcast(x, jnp.uint32)
-        hi32 = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
-        return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
+    split = _split_vmem
 
     acc[...] = jnp.zeros((th, tw), jnp.float32)
 
@@ -314,10 +305,7 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    def split(x):
-        bits = pltpu.bitcast(x, jnp.uint32)
-        hi32 = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
-        return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
+    split = _split_vmem
 
     out_ref[...] = jnp.zeros((th, tw), jnp.float32)
 
@@ -410,6 +398,10 @@ def _fused_call(y_pad, packed, th: int, tw: int,
                 true_h: int = 0, rpb: int = 1):
     *wrefs, b3 = packed
     stacked = len(wrefs) == 5          # (w1s, w2s, w3s, b1, b2)
+    # the in-kernel feature-row clamp is only implemented by the stacked
+    # kernel; silently ignoring true_h would return wrong border rows
+    assert stacked or not true_h, \
+        "true_h row-clamp requires the stacked weight layout"
     hp, wp = y_pad.shape
     gh, gw = (hp - 16) // th, (wp - 128) // tw
     th4, tw4 = th + 4, tw + 4

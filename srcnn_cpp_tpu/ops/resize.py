@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .resize_tables import cv_cubic_tables
+from .resize_tables import cv_cubic_tables, cv_cubic_taps_unclamped
 
 __all__ = ["resize_bicubic_u8", "resize_separable", "FILTERS", "scaled_size"]
 
@@ -115,15 +115,12 @@ def _vphase_plan(oh: int, ih: int):
     the gather form materializes four full-size planes.  Returns
     ``(P, S, top, bot, bases, coefs)`` or ``None`` (fallback to gathers).
     """
-    scale = ih / oh
-    f = ((np.arange(oh, dtype=np.float64) + 0.5) * scale - 0.5).astype(np.float32)
-    s = np.floor(f).astype(np.int64)
-    yi_un = s[:, None] + np.arange(-1, 3)[None, :]   # unclamped taps
+    yi_un, _ = cv_cubic_taps_unclamped(oh, ih)   # shared mapping
     _, _, yfc = cv_cubic_tables(oh, ih)
     for P in range(1, 9):
         if oh <= P:
             return None
-        S = int(s[P] - s[0])
+        S = int(yi_un[P, 0] - yi_un[0, 0])
         if (yi_un[P:] == yi_un[:-P] + S).all() \
                 and (yfc[P:].view(np.uint32) == yfc[:-P].view(np.uint32)).all():
             top = max(0, -int(yi_un.min()))
@@ -145,15 +142,12 @@ def _hphase_plan(ow: int, iw: int):
     integer coefficients must repeat bitwise.  Returns ``(P, left, right,
     bases, coefs)`` or ``None`` (fallback to the dense matmul).
     """
-    scale = iw / ow
-    f = ((np.arange(ow, dtype=np.float64) + 0.5) * scale - 0.5).astype(np.float32)
-    s = np.floor(f).astype(np.int64)
-    xi_un = s[:, None] + np.arange(-1, 3)[None, :]   # unclamped taps
+    xi_un, _ = cv_cubic_taps_unclamped(ow, iw)   # shared mapping
     _, xic, _ = cv_cubic_tables(ow, iw)
     for P in range(1, 9):
         if ow <= P:
             return None
-        if int(s[P] - s[0]) != 1:
+        if int(xi_un[P, 0] - xi_un[0, 0]) != 1:
             continue
         if (xi_un[P:] == xi_un[:-P] + 1).all() and (xic[P:] == xic[:-P]).all():
             left = max(0, -int(xi_un.min()))
@@ -168,6 +162,7 @@ def _hphase_plan(ow: int, iw: int):
 def _resize_bicubic_u8_2d(img, oh: int, ow: int, hmode: str = "dense"):
     ih, iw = img.shape
     yi, _, yfc = cv_cubic_tables(oh, ih)
+    vplan = _vphase_plan(oh, ih)   # computed once, shared by every phase
     # horizontal pass: OpenCV accumulates int32 row sums (HResizeNoVec);
     # the same integer values are produced here by an exact banded matmul
     # on the MXU (the old lane-axis gather form was the whole engine's
@@ -192,7 +187,7 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int, hmode: str = "dense"):
             r = xp[:, pbases[p][3]: pbases[p][3] + n] * pcoefs[p][3]
             for k in (2, 1, 0):
                 r = xp[:, pbases[p][k]: pbases[p][k] + n] * pcoefs[p][k] + r
-            u = _vpass(r, oh, ih, yi, yfc)        # (oh, n) u8
+            u = _vpass(r, oh, yi, yfc, vplan)     # (oh, n) u8
             if n < nmax:
                 u = jnp.pad(u, ((0, 0), (0, nmax - n)))
             cols.append(u)
@@ -226,18 +221,18 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int, hmode: str = "dense"):
         x = img.astype(jnp.bfloat16)
         dot = partial(jnp.dot, preferred_element_type=jnp.float32)
         rows = dot(x, jnp.asarray(mxh)) + dot(x, jnp.asarray(mxl))
-    return _vpass(rows, oh, ih, yi, yfc)
+    return _vpass(rows, oh, yi, yfc, vplan)
 
 
-def _vpass(rows, oh: int, ih: int, yi, yfc):
+def _vpass(rows, oh: int, yi, yfc, plan):
     """Vertical pass on int-valued f32 ``rows`` of any column count.
 
     float32, right-to-left separate mul/add with OpenCV's per-product
-    roundings (SIMD VResizeCubic); phased (strided-slice) form when the
-    tables are bitwise-periodic, per-row gathers otherwise.
+    roundings (SIMD VResizeCubic); ``plan`` (a ``_vphase_plan`` result,
+    computed once by the caller) selects the phased strided-slice form;
+    ``None`` falls back to per-row gathers.
     """
     ncols = rows.shape[1]
-    plan = _vphase_plan(oh, ih)
     if plan is not None:
         # phased form: replicate row padding realizes the index clamp, each
         # phase is 4 shifted (stride-S) slices x scalar coefficients — the
@@ -319,15 +314,11 @@ def resize_bicubic_u8_fast(img, out_hw: tuple[int, int]):
 
     oh, ow = int(out_hw[0]), int(out_hw[1])
     ih, iw = img.shape[-2:]
-    xi, xic, _ = cv_cubic_tables(ow, iw)
     yi, _, yfc = cv_cubic_tables(oh, ih)
-    mx = np.zeros((iw, ow), np.float32)
-    np.add.at(mx, (xi, np.broadcast_to(np.arange(ow)[:, None], xi.shape)),
-              xic.astype(np.float32))
+    mxh, mxl = _hband_split(ow, iw)    # shared with the exact engine
     my = np.zeros((oh, ih), np.float32)
     np.add.at(my, (np.broadcast_to(np.arange(oh)[:, None], yi.shape), yi),
               yfc)
-    mxh, mxl = _np_split_bf16(mx)
     myh, myl = _np_split_bf16(my)
 
     x = img.astype(jnp.bfloat16)  # u8 exact in bf16

@@ -27,24 +27,37 @@ def catmull_rom_f32(fx: np.ndarray) -> np.ndarray:
     return np.stack([c0, c1, c2, c3], axis=-1).astype(np.float32)
 
 
-def cv_cubic_tables(dst: int, src: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-axis (tap indices [dst,4], int coeffs [dst,4], float32 coeffs).
+def cv_cubic_taps_unclamped(dst: int, src: int) -> tuple[np.ndarray, np.ndarray]:
+    """The source-coordinate mapping, shared source of truth.
 
-    The source coordinate ``(i+0.5)*src/dst - 0.5`` is cast to float32
-    *before* floor; coefficients are computed in float32 and quantized to
-    int16 range by scaling with 2048 and rounding half-to-even; float
-    vertical coefficients are ``int_coef * float32(1/2048**2)``; tap indices
-    clamp to the image (replicate border).
+    Returns ``(taps, fr)``: the UNCLAMPED 4-tap source indices ``[dst, 4]``
+    and the float32 fractional offsets.  The source coordinate
+    ``(i+0.5)*src/dst - 0.5`` is cast to float32 *before* floor — OpenCV's
+    exact recipe; :func:`cv_cubic_tables` and the phase-decomposition plans
+    in :mod:`.resize` all derive from this one function so the mapping can
+    never desync between the tables and the plans.
     """
     scale = src / dst
     f = ((np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5).astype(np.float32)
     s = np.floor(f).astype(np.int64)
     fr = (f - s).astype(np.float32)
+    return s[:, None] + np.arange(-1, 3)[None, :], fr
+
+
+def cv_cubic_tables(dst: int, src: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-axis (tap indices [dst,4], int coeffs [dst,4], float32 coeffs).
+
+    Coefficients are computed in float32 and quantized to int16 range by
+    scaling with 2048 and rounding half-to-even; float vertical
+    coefficients are ``int_coef * float32(1/2048**2)``; tap indices clamp
+    to the image (replicate border).
+    """
+    taps, fr = cv_cubic_taps_unclamped(dst, src)
     coef = catmull_rom_f32(fr)
     icoef = np.rint((coef * np.float32(_COEF_SCALE)).astype(np.float32)).astype(np.int32)
     fcoef = (icoef.astype(np.float32)
              * np.float32(1.0 / (_COEF_SCALE * _COEF_SCALE))).astype(np.float32)
-    idx = np.clip(s[:, None] + np.arange(-1, 3)[None, :], 0, src - 1).astype(np.int32)
+    idx = np.clip(taps, 0, src - 1).astype(np.int32)
     return idx, icoef, fcoef
 
 

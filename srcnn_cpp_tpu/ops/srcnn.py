@@ -105,11 +105,10 @@ def srcnn_y(y_u8, weights, precision=lax.Precision.HIGHEST):
 
 
 def _split_pair(x):
-    """Excess-precision-proof hi/lo bf16 split of an f32 tensor."""
-    bits = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    hi32 = lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000),
-                                    jnp.float32)
-    return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
+    """Excess-precision-proof hi/lo bf16 split (shared, ops/quantize.py)."""
+    from .quantize import split_hi_lo
+
+    return split_hi_lo(x)
 
 
 def srcnn_y_f32_split(y, weights):
