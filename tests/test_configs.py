@@ -11,6 +11,15 @@ def test_batch_config(weights):
         0, 256, (2, 24, 32, 3), dtype=np.uint8)
     out = np.asarray(run(frames))
     assert out.shape == (2, 48, 64, 3)
+    # chunked dispatch: a 5-frame input through batch=2 chunks must equal
+    # the single-dispatch result frame for frame
+    run2 = batch_1080p_to_4k(weights, batch=2, kernel="xla", resize="exact")
+    frames5 = np.random.default_rng(2).integers(
+        0, 256, (5, 24, 32, 3), dtype=np.uint8)
+    a = np.asarray(run(frames5))
+    b = np.asarray(run2(frames5))
+    assert a.shape == b.shape == (5, 48, 64, 3)
+    assert np.array_equal(a, b)
 
 
 def test_single_8k_config_monolithic(weights):
