@@ -167,3 +167,26 @@ def test_alternate_hpass_modes_bit_identical(cv46_cases):
         for hmode in ("block", "phase"):
             out = np.asarray(resize_bicubic_u8(src, ref.shape, hmode=hmode))
             assert np.array_equal(out, ref), (hmode, src.shape, ref.shape)
+
+
+def test_random_geometry_fuzz_bit_exact():
+    # randomized sweep over up/down/non-uniform scales: the phase-plan
+    # detectors (and their fallbacks) must stay bit-exact vs the oracle
+    # for arbitrary geometry pairs, not just the curated cases above
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+    from srcnn_cpp_tpu.ops.resize_tables import resize_bicubic_u8_np
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for _ in range(8):
+        ih, iw = int(rng.integers(4, 70)), int(rng.integers(4, 70))
+        if rng.random() < 0.5:
+            f = float(rng.choice([1.5, 2, 3, 0.5, 1.25]))
+            oh = max(1, int(np.float32(ih) * np.float32(f)))
+            ow = max(1, int(np.float32(iw) * np.float32(f)))
+        else:
+            oh, ow = int(rng.integers(2, 150)), int(rng.integers(2, 150))
+        src = rng.integers(0, 256, (ih, iw), dtype=np.uint8)
+        ref = resize_bicubic_u8_np(src, (oh, ow))
+        out = np.asarray(resize_bicubic_u8(src, (oh, ow)))
+        assert np.array_equal(out, ref), (ih, iw, oh, ow)
