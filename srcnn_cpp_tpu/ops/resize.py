@@ -158,11 +158,22 @@ def _hphase_plan(ow: int, iw: int):
     return None
 
 
+#: beyond this many (iw * ow) band-matrix entries the dense horizontal
+#: pass is not viable: the traced program embeds the (iw, ow) bf16 pair as
+#: constants, and at 8K->16K (118M entries, ~470 MB) the remote compile
+#: service rejects the request body outright (HTTP 413).  The auto policy
+#: switches to the phase form (tiny per-phase scalars) when bitwise-valid,
+#: else the block-banded form (~(ow/128, K, 128) constants).
+_DENSE_HBAND_LIMIT = 1 << 25
+
+
 @partial(jnp.vectorize, excluded=(1, 2, 3), signature="(h,w)->(p,q)")
 def _resize_bicubic_u8_2d(img, oh: int, ow: int, hmode: str = "dense"):
     ih, iw = img.shape
     yi, _, yfc = cv_cubic_tables(oh, ih)
     vplan = _vphase_plan(oh, ih)   # computed once, shared by every phase
+    if hmode == "dense" and iw * ow > _DENSE_HBAND_LIMIT:
+        hmode = "phase" if _hphase_plan(ow, iw) is not None else "block"
     # horizontal pass: OpenCV accumulates int32 row sums (HResizeNoVec);
     # the same integer values are produced here by an exact banded matmul
     # on the MXU (the old lane-axis gather form was the whole engine's
