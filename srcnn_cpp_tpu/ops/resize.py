@@ -9,9 +9,13 @@ Two engines, mirroring the two resize paths of the reference:
    math, quantized to int16 by scaling with 2**11 and rounding), an integer
    horizontal pass, and a float32 vertical pass that multiplies by
    ``int16_coef * (1/2048**2)`` accumulating right-to-left with separate
-   mul/add roundings.  All of that restates exactly here as jnp gathers and
-   elementwise ops (VPU work, ~8 MACs/px — negligible next to the conv
-   stack's 7,232 MACs/px).
+   mul/add roundings.  All of that restates exactly here with TPU-shaped
+   kernels: the horizontal pass as an exact banded bf16 matmul (with
+   bit-identical block-banded and lane-phase forms, auto-selected for
+   giant geometries where the dense constants would not even compile) and
+   the vertical pass as phase-decomposed strided-slice streams with
+   gather fallback — every variant produces the reference's integer sums
+   and per-product float32 roundings bit-for-bit.
 
 2. :func:`resize_separable` — a general float weights-table resampler, the
    TPU-first counterpart of the reference's standalone FreeImage-derived
