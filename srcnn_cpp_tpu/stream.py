@@ -127,6 +127,16 @@ def run_video(src: str, dst: str, scale: float, kernel: str,
     up = StreamUpscaler(scale, kernel=kernel, batch=batch)
     writer = None
     n = 0
+
+    def emit(out):
+        nonlocal writer, n
+        if writer is None:
+            oh, ow = out.shape[:2]
+            writer = cv2.VideoWriter(
+                dst, cv2.VideoWriter_fourcc(*"mp4v"), fps, (ow, oh))
+        writer.write(out)
+        n += 1
+
     t0 = time.monotonic()
     while True:
         ok, frame = cap.read()
@@ -134,19 +144,9 @@ def run_video(src: str, dst: str, scale: float, kernel: str,
             break
         out = up.push(frame)
         if out is not None:
-            if writer is None:
-                oh, ow = out.shape[:2]
-                writer = cv2.VideoWriter(
-                    dst, cv2.VideoWriter_fourcc(*"mp4v"), fps, (ow, oh))
-            writer.write(out)
-            n += 1
+            emit(out)
     for out in up.drain():
-        if writer is None:
-            oh, ow = out.shape[:2]
-            writer = cv2.VideoWriter(
-                dst, cv2.VideoWriter_fourcc(*"mp4v"), fps, (ow, oh))
-        writer.write(out)
-        n += 1
+        emit(out)
     cap.release()
     if writer is not None:
         writer.release()
