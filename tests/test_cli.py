@@ -111,9 +111,16 @@ def test_end_to_end_subprocess(tmp_path):
     cv2.imwrite(str(src), img)
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # strip the axon sitecustomize from the child's PYTHONPATH: it pins the
+    # TPU platform at interpreter start regardless of JAX_PLATFORMS, which
+    # makes this "hermetic" test hang whenever the TPU relay is down
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                  if p and "axon" not in p])
     proc = subprocess.run(
         [sys.executable, "-m", "srcnn_cpp_tpu", "--scale=1.5", str(src)],
-        capture_output=True, text=True, env=env, timeout=600,
+        capture_output=True, text=True, env=env, timeout=600, cwd=repo,
     )
     assert proc.returncode == 0, proc.stderr
     out_path = tmp_path / "in_resized.png"
