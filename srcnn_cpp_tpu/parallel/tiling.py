@@ -99,6 +99,45 @@ def _srcnn_rows_f32(y_block, weights, axis_name: str = "row"):
     return out[..., 0]
 
 
+def _srcnn_rows_fused(y_block, weights, axis_name: str = "row"):
+    """Per-device FUSED-KERNEL forward on a row block ``[B, Ht, W]`` -> u8.
+
+    The production multi-chip composition: each device runs the Pallas
+    kernel (:func:`..ops.pallas_srcnn.srcnn_y_fused`) on its halo-extended
+    tile.  Correctness decomposition:
+
+    * interior seams: the 6-row halos carry REAL neighbor rows, so the
+      kernel's virtual extension never reaches a kept row — bit-identical
+      to the monolithic kernel;
+    * column edges: true image edges on every tile (rows-only sharding);
+      the kernel's own strip/corner machinery supplies the reference
+      feature-column clamp;
+    * global top/bottom 2 rows (first/last device only): the reference
+      needs conv3's feature-ROW clamp there, which the extended-tile run
+      replaces with virtual extension over the replicate halo — those rows
+      are recomputed from an 8-row strip with the split-precision XLA path
+      and selected by ``axis_index`` masks (both-dim edge pad, so the 2x2
+      global corners carry the row+column clamp).
+
+    Inference-only (u8 out); the differentiable path stays
+    :func:`_srcnn_rows_f32`.
+    """
+    from ..ops.pallas_srcnn import srcnn_y_fused
+    from ..ops.srcnn import srcnn_y_split
+
+    ext = _halo_exchange_rows(y_block, HALO, axis_name)    # [B, Ht+12, W]
+    out = srcnn_y_fused(ext, weights)[:, HALO:-HALO, :]
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    cs = min(8, y_block.shape[1])
+    tf = srcnn_y_split(y_block[:, :cs, :], weights)[:, :2, :]
+    bf = srcnn_y_split(y_block[:, -cs:, :], weights)[:, cs - 2:, :]
+    out = out.at[:, :2, :].set(jnp.where(idx == 0, tf, out[:, :2, :]))
+    out = out.at[:, -2:, :].set(
+        jnp.where(idx == n - 1, bf, out[:, -2:, :]))
+    return out
+
+
 def _halo_exchange_cols(y, halo: int, axis_name: str = "col"):
     """Column analogue of :func:`_halo_exchange_rows` (lane-dim halos)."""
     n = lax.axis_size(axis_name)
@@ -134,14 +173,28 @@ def _srcnn_tile2d_f32(y_block, weights, row_axis: str = "row",
     return out[..., 0]
 
 
-@partial(jax.jit, static_argnames=("mesh",))
-def _tiled_call(y, weights, mesh: Mesh):
+@partial(jax.jit, static_argnames=("mesh", "kernel"))
+def _tiled_call(y, weights, mesh: Mesh, kernel: str = "xla"):
     if "col" in mesh.shape and mesh.shape["col"] > 1:
+        if kernel == "pallas":
+            raise ValueError("kernel='pallas' tiling supports row-sharded "
+                             "meshes only (column seams would get edge "
+                             "semantics)")
         fn = shard_map(
             lambda w, x: quantize_trunc_u8(_srcnn_tile2d_f32(x, w)),
             mesh=mesh,
             in_specs=(P(), P("data", "row", "col")),
             out_specs=P("data", "row", "col"),
+        )
+    elif kernel == "pallas":
+        fn = shard_map(
+            lambda w, x: _srcnn_rows_fused(x, w),
+            mesh=mesh,
+            in_specs=(P(), P("data", "row", None)),
+            out_specs=P("data", "row", None),
+            # pallas_call's out_shape carries no varying-mesh-axes info, so
+            # the vma checker cannot see through the kernel
+            check_vma=False,
         )
     else:
         fn = shard_map(
@@ -153,13 +206,15 @@ def _tiled_call(y, weights, mesh: Mesh):
     return fn(weights, y)
 
 
-def srcnn_y_tiled(y_u8, weights, mesh: Mesh):
+def srcnn_y_tiled(y_u8, weights, mesh: Mesh, kernel: str = "xla"):
     """SRCNN an upscaled Y batch ``[B, H, W]`` sharded over a device mesh.
 
     ``B`` shards over the ``data`` axis, rows over ``row`` and (when the
     mesh has one) columns over ``col`` — 2-D spatial tiling with halo
     exchange on both axes.  Dims must divide by the mesh axis sizes (use
-    :func:`upscale_y_tiled` for arbitrary ``H``).
+    :func:`upscale_y_tiled` for arbitrary ``H``).  ``kernel="pallas"``
+    runs the fused single-pass kernel per device (row-sharded meshes,
+    inference; see :func:`_srcnn_rows_fused`).
     """
     ndata, nrow = mesh.shape["data"], mesh.shape["row"]
     ncol = mesh.shape.get("col", 1)
@@ -169,7 +224,7 @@ def srcnn_y_tiled(y_u8, weights, mesh: Mesh):
                          f"by mesh {ndata}x{nrow}x{ncol}")
     spec = P("data", "row", "col" if ncol > 1 else None)
     y = jax.device_put(y_u8, NamedSharding(mesh, spec))
-    return _tiled_call(y, weights, mesh)
+    return _tiled_call(y, weights, mesh, kernel)
 
 
 def upscale_y_tiled(y_u8, weights, mesh: Mesh):

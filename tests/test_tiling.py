@@ -129,3 +129,27 @@ def test_gspmd_handles_indivisible_dims(weights, mesh24):
     mono = np.asarray(srcnn_y(y, weights))
     auto = np.asarray(srcnn_y_gspmd(y, weights, mesh24))
     assert np.array_equal(mono, auto)
+
+
+def test_pallas_tiled_matches_monolithic(weights):
+    # the fused-kernel-per-device composition (production multi-chip path)
+    # must agree with the monolithic paths within the usual 1-LSB
+    # split-precision budget, including the global top/bottom rows that
+    # take the masked strip recompute
+    import jax
+    from srcnn_cpp_tpu.parallel import make_mesh
+    from srcnn_cpp_tpu.parallel.tiling import srcnn_y_tiled
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+
+    mesh = make_mesh(data=2, row=4)
+    y = np.random.default_rng(21).integers(0, 256, (2, 64, 144),
+                                           dtype=np.uint8)
+    out = np.asarray(srcnn_y_tiled(y, weights, mesh, kernel="pallas"))
+    ref = np.asarray(srcnn_y(y, weights))
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 1, d.max()
+
+    # 2-D meshes reject the pallas kernel explicitly
+    mesh2d = make_mesh(data=2, row=2, col=2)
+    with np.testing.assert_raises(Exception):
+        srcnn_y_tiled(y, weights, mesh2d, kernel="pallas")
