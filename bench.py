@@ -13,7 +13,11 @@ Methodology notes (axon relay environment):
   fetching the final output to host;
 * per-dispatch round-trip is ~9 ms -> frames are batched per dispatch and
   several dispatches are chained with a data dependency so the span
-  measures sustained device throughput, not launch latency.
+  measures sustained device throughput, not launch latency;
+* the relay can be transiently unavailable (round 2 lost its BENCH record
+  to an outage) -> the benchmark itself runs in a child process with a
+  per-attempt timeout and bounded retry/backoff, so one blip does not
+  zero the round's record.
 """
 
 from __future__ import annotations
@@ -90,5 +94,44 @@ def main() -> None:
     }))
 
 
+def _run_with_retries() -> int:
+    """Run the benchmark in a child process with bounded retry/backoff.
+
+    TPU backend init through the relay can either fail fast (UNAVAILABLE)
+    or hang indefinitely; a per-attempt wall-clock timeout handles both.
+    The per-attempt budget covers worst-case first-compile latency
+    (30 s - 8 min observed); retry 2+ usually rides the persistent
+    compilation cache and is much faster.
+    """
+    import os
+    import subprocess
+    import sys
+
+    delays = (60, 180)  # backoff before attempts 2 and 3
+    for attempt in range(len(delays) + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                stdout=subprocess.PIPE, timeout=850)
+        except subprocess.TimeoutExpired:
+            print(f"bench: attempt {attempt + 1} timed out", file=sys.stderr)
+        else:
+            if proc.returncode == 0 and proc.stdout.strip():
+                sys.stdout.buffer.write(proc.stdout)
+                sys.stdout.flush()
+                return 0
+            print(f"bench: attempt {attempt + 1} exited rc={proc.returncode}",
+                  file=sys.stderr)
+        if attempt < len(delays):
+            print(f"bench: retrying in {delays[attempt]}s", file=sys.stderr)
+            time.sleep(delays[attempt])
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(_run_with_retries())

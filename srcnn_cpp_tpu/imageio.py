@@ -55,8 +55,10 @@ def conv_image(buf, w: int, h: int, d: int) -> np.ndarray:
       ``unsigned short*`` cast there mis-indexes an RGBA8 buffer — a bug
       not reproduced, like frawscale's sizeof(short) memcpy).
     """
+    # d=2 uses NATIVE uint16, like the reference's ``unsigned short*`` cast
+    # (test.cpp:71): the byte order follows the host, not a fixed endianness.
     a = np.frombuffer(np.ascontiguousarray(buf), dtype=np.uint8) \
-        if d != 2 else np.frombuffer(np.ascontiguousarray(buf), dtype="<u2")
+        if d != 2 else np.frombuffer(np.ascontiguousarray(buf), dtype=np.uint16)
     if d == 1:
         px = a.reshape(h, w)
         return np.repeat(px[..., None], 3, axis=-1)

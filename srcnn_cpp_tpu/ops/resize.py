@@ -176,7 +176,8 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int, hmode: str = "dense"):
     ih, iw = img.shape
     yi, _, yfc = cv_cubic_tables(oh, ih)
     vplan = _vphase_plan(oh, ih)   # computed once, shared by every phase
-    if hmode == "dense" and iw * ow > _DENSE_HBAND_LIMIT:
+    auto = hmode == "dense" and iw * ow > _DENSE_HBAND_LIMIT
+    if auto:
         hmode = "phase" if _hphase_plan(ow, iw) is not None else "block"
     # horizontal pass: OpenCV accumulates int32 row sums (HResizeNoVec);
     # the same integer values are produced here by an exact banded matmul
@@ -231,6 +232,20 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int, hmode: str = "dense"):
         res = dg(xg, jnp.asarray(bh)) + dg(xg, jnp.asarray(bl))
         rows = jnp.transpose(res, (1, 0, 2)).reshape(
             ih, len(bases) * 128)[:, :ow]
+    elif hmode == "gather" or (auto and hmode == "block"):
+        # constant-light fallback: the auto policy switched away from the
+        # dense band (constants too large to compile), but the block form
+        # was rejected too (ow <= 128, or a heavy downscale where the
+        # per-group window K ~ iw).  Falling back to dense would re-embed
+        # the giant constants the limit exists to avoid, so use 4 clamped
+        # column gathers instead — the identical integer sums (u8 x 12-bit
+        # int coefficients, every product < 2^19 and 4-term sum < 2^22,
+        # exact in f32), with only (ow, 4) tables embedded.
+        xi, xic, _ = cv_cubic_tables(ow, iw)
+        xf = img.astype(jnp.float32)
+        rows = xf[:, xi[:, 3]] * jnp.asarray(xic[:, 3], jnp.float32)
+        for t in (2, 1, 0):
+            rows = xf[:, xi[:, t]] * jnp.asarray(xic[:, t], jnp.float32) + rows
     else:
         mxh, mxl = _hband_split(ow, iw)
         x = img.astype(jnp.bfloat16)
@@ -292,7 +307,12 @@ def resize_bicubic_u8(img, out_hw: tuple[int, int], hmode: str = "dense"):
     * ``"block"`` — block-banded matmul (~iw/K fewer FLOPs; loses ~3 ms at
       batch-32 1080p to per-group stack/transpose relayouts);
     * ``"phase"`` — lane-phase strided-slice form for integer upscales
-      (minimal FLOPs; loses ~4 ms to the final u8 lane interleave).
+      (minimal FLOPs; loses ~4 ms to the final u8 lane interleave);
+    * ``"gather"`` — 4 clamped column gathers, no embedded matrices at all
+      (the auto fallback for giant geometries the block form rejects).
+
+    Past ``_DENSE_HBAND_LIMIT`` band entries the auto policy leaves "dense"
+    for phase/block/gather so giant constant matrices are never embedded.
     """
     oh, ow = int(out_hw[0]), int(out_hw[1])
     return _resize_bicubic_u8_2d(img, oh, ow, hmode)
@@ -329,6 +349,12 @@ def resize_bicubic_u8_fast(img, out_hw: tuple[int, int]):
 
     oh, ow = int(out_hw[0]), int(out_hw[1])
     ih, iw = img.shape[-2:]
+    if iw * ow > _DENSE_HBAND_LIMIT or ih * oh > _DENSE_HBAND_LIMIT:
+        # the dense (iw, ow) + (oh, ih) constants would hit the same
+        # compile-size cliff the exact engine guards against
+        # (_DENSE_HBAND_LIMIT); delegate to the exact engine's auto policy,
+        # which picks a constant-light form for such geometries.
+        return resize_bicubic_u8(img, out_hw)
     yi, _, yfc = cv_cubic_tables(oh, ih)
     mxh, mxl = _hband_split(ow, iw)    # shared with the exact engine
     my = np.zeros((oh, ih), np.float32)

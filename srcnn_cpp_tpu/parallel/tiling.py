@@ -138,6 +138,81 @@ def _srcnn_rows_fused(y_block, weights, axis_name: str = "row"):
     return out
 
 
+def _srcnn_tile2d_fused(y_block, weights, row_axis: str = "row",
+                        col_axis: str = "col"):
+    """Per-device FUSED-KERNEL forward on a 2-D tile ``[B, Ht, Wt]`` -> u8.
+
+    Extends :func:`_srcnn_rows_fused` to (row x col) meshes.  Correctness
+    decomposition:
+
+    * halos are exchanged on BOTH spatial axes (6 px each: conv1's 4 +
+      conv3's 2), then the kernel runs on the extended tile and the result
+      is cropped by 6.  Every kept pixel's full receptive field (f2 rows/
+      cols +-2, each reaching input +-4, total +-6) lies inside the
+      extended tile, and the kernel's own edge machinery (in-kernel row
+      clamp, column-strip fix) only touches the outermost 2 rows/cols of
+      the EXTENDED tile — cropped away.  So interior seams (and everything
+      else except true image edges) are bit-identical to the monolithic
+      kernel with no per-seam special cases at all;
+    * true image edges still need the reference's conv3 FEATURE-level
+      clamp (srcnn.cpp:200-210), which virtual extension over a replicate
+      halo does not reproduce: the outermost 2 rows (first/last row
+      device), 2 columns (first/last col device) and 2x2 global corners
+      are recomputed with the split-precision XLA path on 8-deep strips
+      cut from the singly-extended tiles (so the strip recompute itself
+      sees real neighbor context on the other axis), then selected in by
+      ``axis_index`` masks.
+
+    Requires tile dims >= 8 (strip depth).  Inference-only (u8 out); the
+    differentiable path stays :func:`_srcnn_tile2d_f32`.
+    """
+    from ..ops.pallas_srcnn import _transpose_weights, srcnn_y_fused
+    from ..ops.srcnn import srcnn_y_split
+
+    nr, nc = lax.axis_size(row_axis), lax.axis_size(col_axis)
+    ri, ci = lax.axis_index(row_axis), lax.axis_index(col_axis)
+    ext_c = _halo_exchange_cols(y_block, HALO, col_axis)   # [B, Ht, Wt+12]
+    ext = _halo_exchange_rows(ext_c, HALO, row_axis)       # [B, Ht+12, Wt+12]
+    out = srcnn_y_fused(ext, weights)[:, HALO:-HALO, HALO:-HALO]
+
+    b, ht, wt = y_block.shape
+    m = 2
+    # top/bottom rows: strips from the column-extended tile (real column
+    # context), reference row semantics from the strip's own edge clamp
+    tf = srcnn_y_split(ext_c[:, :8, :], weights)[:, :m, HALO:-HALO]
+    bf = srcnn_y_split(ext_c[:, -8:, :], weights)[:, 8 - m:, HALO:-HALO]
+    out = out.at[:, :m, :].set(jnp.where(ri == 0, tf, out[:, :m, :]))
+    out = out.at[:, -m:, :].set(jnp.where(ri == nr - 1, bf, out[:, -m:, :]))
+
+    # left/right columns: transposed strips from the row-extended tile
+    # (corr2d(x^T, k^T) == corr2d(x, k)^T; conv2 is 1x1)
+    ext_r = _halo_exchange_rows(y_block, HALO, row_axis)   # [B, Ht+12, Wt]
+    wt_w = _transpose_weights(weights)
+    lcT = srcnn_y_split(jnp.swapaxes(ext_r[:, :, :8], 1, 2), wt_w)
+    rcT = srcnn_y_split(jnp.swapaxes(ext_r[:, :, -8:], 1, 2), wt_w)
+    lc = jnp.swapaxes(lcT[:, :m, HALO:-HALO], 1, 2)        # [B, Ht, m]
+    rc = jnp.swapaxes(rcT[:, 8 - m:, HALO:-HALO], 1, 2)
+    out = out.at[:, :, :m].set(jnp.where(ci == 0, lc, out[:, :, :m]))
+    out = out.at[:, :, -m:].set(jnp.where(ci == nc - 1, rc, out[:, :, -m:]))
+
+    # global 2x2 corners: both-dim feature clamp via 8x8 patches
+    pat = jnp.stack([y_block[:, :8, :8], y_block[:, :8, -8:],
+                     y_block[:, -8:, :8], y_block[:, -8:, -8:]], axis=1)
+    co = srcnn_y_split(pat.reshape(4 * b, 8, 8), weights).reshape(b, 4, 8, 8)
+    first_r, last_r = ri == 0, ri == nr - 1
+    first_c, last_c = ci == 0, ci == nc - 1
+    out = out.at[:, :m, :m].set(
+        jnp.where(first_r & first_c, co[:, 0, :m, :m], out[:, :m, :m]))
+    out = out.at[:, :m, -m:].set(
+        jnp.where(first_r & last_c, co[:, 1, :m, 8 - m:], out[:, :m, -m:]))
+    out = out.at[:, -m:, :m].set(
+        jnp.where(last_r & first_c, co[:, 2, 8 - m:, :m], out[:, -m:, :m]))
+    out = out.at[:, -m:, -m:].set(
+        jnp.where(last_r & last_c, co[:, 3, 8 - m:, 8 - m:],
+                  out[:, -m:, -m:]))
+    return out
+
+
 def _halo_exchange_cols(y, halo: int, axis_name: str = "col"):
     """Column analogue of :func:`_halo_exchange_rows` (lane-dim halos)."""
     n = lax.axis_size(axis_name)
@@ -177,15 +252,22 @@ def _srcnn_tile2d_f32(y_block, weights, row_axis: str = "row",
 def _tiled_call(y, weights, mesh: Mesh, kernel: str = "xla"):
     if "col" in mesh.shape and mesh.shape["col"] > 1:
         if kernel == "pallas":
-            raise ValueError("kernel='pallas' tiling supports row-sharded "
-                             "meshes only (column seams would get edge "
-                             "semantics)")
-        fn = shard_map(
-            lambda w, x: quantize_trunc_u8(_srcnn_tile2d_f32(x, w)),
-            mesh=mesh,
-            in_specs=(P(), P("data", "row", "col")),
-            out_specs=P("data", "row", "col"),
-        )
+            fn = shard_map(
+                lambda w, x: _srcnn_tile2d_fused(x, w),
+                mesh=mesh,
+                in_specs=(P(), P("data", "row", "col")),
+                out_specs=P("data", "row", "col"),
+                # pallas_call's out_shape carries no varying-mesh-axes
+                # info, so the vma checker cannot see through the kernel
+                check_vma=False,
+            )
+        else:
+            fn = shard_map(
+                lambda w, x: quantize_trunc_u8(_srcnn_tile2d_f32(x, w)),
+                mesh=mesh,
+                in_specs=(P(), P("data", "row", "col")),
+                out_specs=P("data", "row", "col"),
+            )
     elif kernel == "pallas":
         fn = shard_map(
             lambda w, x: _srcnn_rows_fused(x, w),
@@ -213,8 +295,10 @@ def srcnn_y_tiled(y_u8, weights, mesh: Mesh, kernel: str = "xla"):
     mesh has one) columns over ``col`` — 2-D spatial tiling with halo
     exchange on both axes.  Dims must divide by the mesh axis sizes (use
     :func:`upscale_y_tiled` for arbitrary ``H``).  ``kernel="pallas"``
-    runs the fused single-pass kernel per device (row-sharded meshes,
-    inference; see :func:`_srcnn_rows_fused`).
+    runs the fused single-pass kernel per device (inference; rows-only
+    meshes via :func:`_srcnn_rows_fused`, (row x col) meshes via
+    :func:`_srcnn_tile2d_fused` — tiles must be at least 8x8 there for
+    the true-edge strip recompute).
     """
     ndata, nrow = mesh.shape["data"], mesh.shape["row"]
     ncol = mesh.shape.get("col", 1)
@@ -222,12 +306,15 @@ def srcnn_y_tiled(y_u8, weights, mesh: Mesh, kernel: str = "xla"):
     if b % ndata or h % nrow or w % ncol:
         raise ValueError(f"batch {b} / height {h} / width {w} not divisible "
                          f"by mesh {ndata}x{nrow}x{ncol}")
+    if kernel == "pallas" and ncol > 1 and (h // nrow < 8 or w // ncol < 8):
+        raise ValueError(f"kernel='pallas' on a 2-D mesh needs tiles >= 8x8 "
+                         f"(got {h // nrow}x{w // ncol})")
     spec = P("data", "row", "col" if ncol > 1 else None)
     y = jax.device_put(y_u8, NamedSharding(mesh, spec))
     return _tiled_call(y, weights, mesh, kernel)
 
 
-def upscale_y_tiled(y_u8, weights, mesh: Mesh):
+def upscale_y_tiled(y_u8, weights, mesh: Mesh, kernel: str = "xla"):
     """Like :func:`srcnn_y_tiled` but pads H to a tile multiple and crops.
 
     Bottom padding uses replicate rows, which are *identical* to conv1's
@@ -257,7 +344,7 @@ def upscale_y_tiled(y_u8, weights, mesh: Mesh):
     bpad = (-b) % ndata
     if bpad:
         yp = jnp.concatenate([yp, yp[:bpad]], axis=0)
-    out = srcnn_y_tiled(yp, weights, mesh)[:b, :h, :]
+    out = srcnn_y_tiled(yp, weights, mesh, kernel)[:b, :h, :]
     if hpad:
         strip = min(h, 16)
         fix = srcnn_y(y[:, h - strip:, :], weights)

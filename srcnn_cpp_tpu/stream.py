@@ -96,7 +96,9 @@ def run_synthetic(n: int, size: tuple[int, int], scale: float,
         up.push(frame)
     for _ in up.drain():
         pass
-    n -= n % up.batch  # avoid compiling a second (partial-batch) shape
+    # avoid compiling a second (partial-batch) shape, but never round the
+    # run down to zero frames — n < batch still benchmarks one full batch
+    n = max(n - n % up.batch, up.batch)
     t0 = time.monotonic()
     done = 0
     for i in range(n):

@@ -149,7 +149,25 @@ def test_pallas_tiled_matches_monolithic(weights):
     d = np.abs(out.astype(int) - ref.astype(int))
     assert d.max() <= 1, d.max()
 
-    # 2-D meshes reject the pallas kernel explicitly
-    mesh2d = make_mesh(data=2, row=2, col=2)
-    with np.testing.assert_raises(Exception):
-        srcnn_y_tiled(y, weights, mesh2d, kernel="pallas")
+
+def test_pallas_tiled_2d_matches_monolithic(weights):
+    # fused kernel on a (row x col) mesh: interior column seams come from
+    # the crop-after-halo composition, true edges from the masked strip
+    # recomputes (tiling._srcnn_tile2d_fused)
+    from srcnn_cpp_tpu.parallel import make_mesh
+    from srcnn_cpp_tpu.parallel.tiling import srcnn_y_tiled
+    from srcnn_cpp_tpu.ops.srcnn import srcnn_y
+
+    y = np.random.default_rng(22).integers(0, 256, (2, 48, 160),
+                                           dtype=np.uint8)
+    ref = np.asarray(srcnn_y(y, weights))
+    for shape in [dict(data=2, row=2, col=2), dict(data=1, row=2, col=4)]:
+        mesh = make_mesh(**shape)
+        out = np.asarray(srcnn_y_tiled(y, weights, mesh, kernel="pallas"))
+        d = np.abs(out.astype(int) - ref.astype(int))
+        assert d.max() <= 1, (shape, d.max())
+
+    # tiles below the 8x8 strip minimum are rejected explicitly
+    mesh = make_mesh(data=2, row=2, col=2)
+    with np.testing.assert_raises(ValueError):
+        srcnn_y_tiled(y[:, :12, :], weights, mesh, kernel="pallas")
