@@ -139,7 +139,7 @@ class DistributedStream:
     """
 
     def __init__(self, scale: float, mesh, weights: SRCNNWeights | None = None,
-                 depth: int = 2):
+                 depth: int = 2, gather: str = "local"):
         import jax
 
         self.scale = float(scale)
@@ -154,6 +154,16 @@ class DistributedStream:
         ndata, nrow = mesh.shape["data"], mesh.shape["row"]
         self._global_batch = None  # inferred on first push
         self._axis_sizes = (ndata, nrow)
+        # gather="full": pop/drain return the FULL output batch on every
+        # process (XLA all-gather via a replicated out-sharding) instead of
+        # this process's local block — used by the video front-end, where
+        # process 0 encodes whole ordered frames
+        if gather not in ("local", "full"):
+            raise ValueError(f"gather must be 'local' or 'full', not "
+                             f"{gather!r}")
+        self.gather = gather
+        self._replicate = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P()))
 
     def push_local(self, local_bgr_p: np.ndarray):
         import jax
@@ -180,6 +190,8 @@ class DistributedStream:
 
     def _fetch(self, garr) -> np.ndarray:
         """Assemble this process's contiguous local block of the output."""
+        if self.gather == "full":
+            return np.asarray(self._replicate(garr))
         shape = garr.shape
         b = _local_bounds(garr.sharding, shape, dims=(0, 2))
         (b0, b1), (r0, r1) = b[0], b[2]
@@ -265,6 +277,113 @@ def run_synthetic(frames: int, size: tuple[int, int], scale: float, mesh,
     return result
 
 
+def run_video(src: str, dst: str | None, scale: float, mesh,
+              weights: SRCNNWeights | None = None, depth: int = 2,
+              check: bool = False, codec: str = "FFV1",
+              max_frames: int | None = None) -> dict:
+    """Distributed video super-resolution (BASELINE config 5 end-to-end).
+
+    Real frame I/O through the multi-process stream: every process decodes
+    the same input file (decode is a trivial fraction of the pipeline work;
+    re-decoding per process beats inventing a host-to-host side channel and
+    matches the "per-process file offsets" deployment mode — each process
+    skips straight to the slab it owns), groups frames along the ``data``
+    mesh axis, and pushes ONLY its local slab of each group.  Outputs are
+    gathered to every process via an XLA all-gather (replicated
+    out-sharding) and process 0 encodes the ordered result with a LOSSLESS
+    codec by default (FFV1) so the written file is bit-faithful.
+
+    ``check`` compares every output frame against the monolithic
+    single-device pipeline on the same decoded input frame — order AND
+    bit-exactness.  Returns a stats dict (frames, fps, mps, bitexact).
+    """
+    import cv2
+    import jax
+
+    from ..ops.resize import scaled_size
+    from ..pipeline import _upscale_planar_jit
+
+    weights = weights if weights is not None else load_weights()
+    cap = cv2.VideoCapture(src)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {src!r}")
+    in_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    ndata, nrow = mesh.shape["data"], mesh.shape["row"]
+    stream = DistributedStream(scale, mesh, weights, depth=depth,
+                               gather="full")
+    write_here = dst is not None and jax.process_index() == 0
+    writer = None
+    pending: collections.deque = collections.deque()  # (n_valid, inputs|None)
+    stats = {"frames": 0, "bitexact": True, "max_abs_diff": 0}
+    oh = ow = None
+
+    def emit(out_g):
+        nonlocal writer
+        n_valid, inputs = pending.popleft()
+        for k in range(n_valid):
+            frame = np.ascontiguousarray(np.moveaxis(out_g[k], 0, -1))
+            if check:
+                mono = np.asarray(_upscale_planar_jit(
+                    inputs[k:k + 1], weights, (oh, ow), "xla", "exact"))[0]
+                diff = int(np.abs(out_g[k].astype(int)
+                                  - mono.astype(int)).max())
+                stats["max_abs_diff"] = max(stats["max_abs_diff"], diff)
+                stats["bitexact"] = stats["bitexact"] and diff == 0
+            if write_here:
+                if writer is None:
+                    writer = cv2.VideoWriter(
+                        dst, cv2.VideoWriter_fourcc(*codec), in_fps,
+                        (ow, oh))
+                writer.write(frame)
+            stats["frames"] += 1
+
+    group: list[np.ndarray] = []
+    bounds = None
+    t0 = time.monotonic()
+    while True:
+        ok, frame = cap.read()
+        if ok and max_frames is not None and stats["frames"] + len(
+                pending) * ndata + len(group) >= max_frames:
+            ok = False
+        if ok:
+            group.append(np.moveaxis(frame, -1, 0))   # planar [3, H, W]
+        elif not group:
+            break
+        if len(group) == ndata or (not ok and group):
+            n_valid = len(group)
+            while len(group) < ndata:                 # pad the last group
+                group.append(group[-1])
+            batch = np.stack(group)                   # [ndata, 3, H, W]
+            group = []
+            if bounds is None:
+                h, w = batch.shape[2:]
+                ow, oh = scaled_size(w, h, scale)
+                b = _local_bounds(stream._in_spec, batch.shape, dims=(0, 2))
+                bounds = (b[0], b[2])
+            (b0, b1), (r0, r1) = bounds
+            pending.append((n_valid, batch if check else None))
+            out = stream.push_local(batch[b0:b1, :, r0:r1, :])
+            if out is not None:
+                emit(out)
+        if not ok:
+            break
+    for out in stream.drain():
+        emit(out)
+    cap.release()
+    if writer is not None:
+        writer.release()
+    dt = time.monotonic() - t0
+    stats.update({
+        "process": jax.process_index(),
+        "seconds": dt,
+        "fps": stats["frames"] / max(dt, 1e-9),
+        "mps": stats["frames"] * (oh or 0) * (ow or 0) / 1e6 / max(dt, 1e-9),
+    })
+    if not check:
+        stats.pop("bitexact"), stats.pop("max_abs_diff")
+    return stats
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="srcnn-distributed",
@@ -285,6 +404,15 @@ def main(argv=None) -> int:
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--check", action="store_true",
                     help="bit-exact check vs the monolithic pipeline")
+    ap.add_argument("--video-in", default=None,
+                    help="stream a real video file instead of synthetic "
+                         "frames (every process decodes it)")
+    ap.add_argument("--video-out", default=None,
+                    help="output video path (written by process 0; "
+                         "lossless FFV1 by default)")
+    ap.add_argument("--codec", default="FFV1", help="fourcc for --video-out")
+    ap.add_argument("--max-frames", type=int, default=None,
+                    help="stop after N input frames of --video-in")
     args = ap.parse_args(argv)
 
     initialize(coordinator_address=args.coordinator,
@@ -295,9 +423,14 @@ def main(argv=None) -> int:
     import jax
 
     mesh = frame_mesh(data=args.data or 1)
-    w, h = (int(t) for t in args.size.lower().split("x"))
-    r = run_synthetic(args.frames, (h, w), args.scale, mesh,
-                      depth=args.depth, check=args.check)
+    if args.video_in:
+        r = run_video(args.video_in, args.video_out, args.scale, mesh,
+                      depth=args.depth, check=args.check, codec=args.codec,
+                      max_frames=args.max_frames)
+    else:
+        w, h = (int(t) for t in args.size.lower().split("x"))
+        r = run_synthetic(args.frames, (h, w), args.scale, mesh,
+                          depth=args.depth, check=args.check)
     print(json.dumps(r), flush=True)
     from jax.experimental import multihost_utils
 

@@ -41,10 +41,10 @@ def _spawn(port, pid, nprocs, extra):
         env=env, cwd=REPO)
 
 
-def _run_all(nprocs, extra):
+def _run_all(nprocs, extra, timeout=600):
     port = _free_port()
     procs = [_spawn(port, pid, nprocs, extra) for pid in range(nprocs)]
-    outs = [p.communicate(timeout=600) for p in procs]
+    outs = [p.communicate(timeout=timeout) for p in procs]
     for p, (o, e) in zip(procs, outs):
         assert p.returncode == 0, f"rc={p.returncode}\nstdout:{o}\nstderr:{e}"
     # Gloo interleaves its own progress lines on stdout: take the JSON line
@@ -70,6 +70,113 @@ def test_two_process_stream_bitexact_data_parallel():
     for r in rows:
         assert r["mesh"] == {"data": 2, "row": 2, "col": 1}
         assert r["bitexact"] is True
+
+
+def _write_video(path, frames) -> bool:
+    """Write uint8 BGR frames losslessly (FFV1); False if unsupported."""
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"FFV1"), 30.0,
+                         (w, h))
+    if not wr.isOpened():
+        return False
+    for f in frames:
+        wr.write(f)
+    wr.release()
+    return True
+
+
+def _read_video(path):
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    return frames
+
+
+def _video_frames(n, h, w, seed=0):
+    """Distinct per-frame content (stripe index) so ordering bugs surface."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    for i in range(n):
+        f = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        f[:2, :, :] = (i * 29) % 256
+        frames.append(f)
+    return frames
+
+
+@pytest.mark.parametrize("data", [1, 2])
+def test_two_process_video_stream_bitexact(tmp_path, data):
+    """BASELINE config 5 end-to-end: REAL frame I/O through the 2-process
+    stream — every process decodes the file, pushes its local slab, process
+    0 encodes ordered lossless output; --check pins order + bit-exactness
+    against the monolith per decoded frame."""
+    import cv2  # noqa: F401 — skip early when cv2 is absent
+
+    src = tmp_path / "in.avi"
+    frames = _video_frames(8, 64, 96)
+    if not _write_video(src, frames):
+        pytest.skip("lossless FFV1 writer unavailable")
+    dst = tmp_path / "out.avi"
+    rows = _run_all(2, [f"--data={data}", f"--video-in={src}",
+                        f"--video-out={dst}", "--scale=2", "--check"])
+    for r in rows:
+        assert r["frames"] == 8
+        assert r["bitexact"] is True, r
+        assert r["max_abs_diff"] == 0
+    # the written file is faithful and ordered: decode and compare to the
+    # monolithic pipeline frame for frame.  Bit-exactness proper is pinned
+    # by the subprocess --check above (same process environment); ACROSS
+    # environments XLA:CPU conv reductions can differ by 1 f32 ulp (the
+    # host-platform device count changes intra-op threading), which can
+    # flip a truncation boundary — so this cross-process comparison allows
+    # <=1 LSB, and order is pinned by requiring every other frame to be
+    # grossly different (each input frame carries a distinct stripe).
+    from srcnn_cpp_tpu.pipeline import upscale_bgr
+    from srcnn_cpp_tpu.weights import load_weights
+
+    out_frames = _read_video(dst)
+    assert len(out_frames) == 8
+    w = load_weights()
+    monos = [np.asarray(upscale_bgr(f, 2.0, w, kernel="xla"))
+             for f in frames]
+    for i, out in enumerate(out_frames):
+        diffs = [np.abs(out.astype(int) - m.astype(int)).max()
+                 for m in monos]
+        assert diffs[i] <= 1, f"frame {i}: {diffs[i]}"
+        assert all(d > 1 for j, d in enumerate(diffs) if j != i), \
+            f"frame {i} order ambiguity: {diffs}"
+
+
+@pytest.mark.slow
+def test_two_process_video_stream_4k(tmp_path):
+    """>=8 real 4K-output frames (1080p x2) through 2 processes with
+    ordered bit-exact output (VERDICT r2 item 4).  Heavyweight on CPU
+    (~90 s compile + tens of seconds per frame group) -> slow-marked;
+    run with ``-m slow``."""
+    import cv2  # noqa: F401
+
+    src = tmp_path / "in4k.avi"
+    frames = _video_frames(8, 1080, 1920, seed=1)
+    if not _write_video(src, frames):
+        pytest.skip("lossless FFV1 writer unavailable")
+    dst = tmp_path / "out4k.avi"
+    rows = _run_all(2, ["--data=2", f"--video-in={src}",
+                        f"--video-out={dst}", "--scale=2", "--check"],
+                    timeout=3000)
+    for r in rows:
+        assert r["frames"] == 8
+        assert r["bitexact"] is True, r
+    out_frames = _read_video(dst)
+    assert len(out_frames) == 8
+    assert out_frames[0].shape == (2160, 3840, 3)
 
 
 def test_single_process_stream_on_virtual_mesh(weights):
