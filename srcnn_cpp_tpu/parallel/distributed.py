@@ -277,6 +277,61 @@ def run_synthetic(frames: int, size: tuple[int, int], scale: float, mesh,
     return result
 
 
+def run_train(steps: int, size: tuple[int, int], mesh,
+              weights: SRCNNWeights | None = None, seed: int = 0,
+              lr: float = 1e-4) -> dict:
+    """Multi-process sharded training (dp + sp) with per-process feed.
+
+    Every process builds the same seeded global batch, feeds only its
+    local (data, row) slab via ``jax.make_array_from_process_local_data``,
+    and runs :func:`..train.make_sharded_train_step` — gradients flow
+    backward through the cross-process ppermute halo exchange (the one
+    collective path with no process-boundary test until round 3).
+
+    Returns per-step losses and final-weight fingerprints for
+    cross-configuration comparison.  Compare with fp tolerance, not
+    bitwise: XLA:CPU reduction order varies with the local device count.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..train import make_sharded_train_step
+
+    weights = weights if weights is not None else load_weights()
+    h, w = size
+    ndata, nrow = mesh.shape["data"], mesh.shape["row"]
+    if h % nrow:
+        raise ValueError(f"H {h} must divide row axis {nrow}")
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, (2 * ndata, h, w), dtype=np.uint8)
+    t = np.clip(x.astype(np.float32) * 1.01 - 1.0, 0, 255)
+    spec = NamedSharding(mesh, P("data", "row", None))
+    lb = _local_bounds(spec, x.shape, dims=(0, 1))
+    (b0, b1), (r0, r1) = lb[0], lb[1]
+
+    def feed(a):
+        return jax.make_array_from_process_local_data(
+            spec, np.ascontiguousarray(a[b0:b1, r0:r1]))
+
+    # adam: the 0-255-domain gradients are huge (raw sgd diverges at any
+    # useful step size); adam's normalized steps descend stably
+    opt = optax.adam(lr)
+    step = make_sharded_train_step(mesh, opt)
+    state = opt.init(weights)
+    wts = weights
+    losses = []
+    gx, gt = feed(x), feed(t)
+    for _ in range(steps):
+        wts, state, loss = step(wts, state, gx, gt)
+        losses.append(float(loss))
+    fp = {k: float(jnp.sum(jnp.abs(jnp.asarray(getattr(wts, k)))))
+          for k in ("conv1_w", "conv1_b", "conv2_w", "conv3_w")}
+    return {"process": jax.process_index(), "mesh": dict(mesh.shape),
+            "losses": losses, "weight_fingerprint": fp}
+
+
 def run_video(src: str, dst: str | None, scale: float, mesh,
               weights: SRCNNWeights | None = None, depth: int = 2,
               check: bool = False, codec: str = "FFV1",
@@ -413,6 +468,10 @@ def main(argv=None) -> int:
     ap.add_argument("--codec", default="FFV1", help="fourcc for --video-out")
     ap.add_argument("--max-frames", type=int, default=None,
                     help="stop after N input frames of --video-in")
+    ap.add_argument("--train", action="store_true",
+                    help="run the sharded trainer instead of inference "
+                         "(gradients cross the process boundary)")
+    ap.add_argument("--train-steps", type=int, default=3)
     args = ap.parse_args(argv)
 
     initialize(coordinator_address=args.coordinator,
@@ -423,7 +482,10 @@ def main(argv=None) -> int:
     import jax
 
     mesh = frame_mesh(data=args.data or 1)
-    if args.video_in:
+    if args.train:
+        w, h = (int(t) for t in args.size.lower().split("x"))
+        r = run_train(args.train_steps, (h, w), mesh)
+    elif args.video_in:
         r = run_video(args.video_in, args.video_out, args.scale, mesh,
                       depth=args.depth, check=args.check, codec=args.codec,
                       max_frames=args.max_frames)

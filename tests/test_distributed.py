@@ -179,6 +179,36 @@ def test_two_process_video_stream_4k(tmp_path):
     assert out_frames[0].shape == (2160, 3840, 3)
 
 
+def test_two_process_training_matches_single_process(weights):
+    """Gradients flow backward through a CROSS-PROCESS ppermute (the halo
+    exchange transpose) and psum: losses and updated weights from the
+    2-process run must match the same mesh shape run in one process.
+    FP tolerance, not bitwise: XLA:CPU reduction order differs with the
+    local device count (see test_two_process_video_stream_bitexact)."""
+    import jax
+
+    from srcnn_cpp_tpu.parallel import make_mesh
+    from srcnn_cpp_tpu.parallel.distributed import run_train
+
+    # data=1: the row axis spans both processes, so halo grads cross the
+    # process boundary; data=2 keeps rows intra-process (both covered)
+    for data in (1, 2):
+        rows = _run_all(2, ["--train", "--train-steps=3", "--size=32x32",
+                            f"--data={data}"])
+        mesh = make_mesh(data=data, row=4 // data,
+                         devices=jax.devices()[:4])
+        ref = run_train(3, (32, 32), mesh, weights=weights)
+        assert ref["losses"][2] < ref["losses"][0]   # it actually learns
+        for r in rows:
+            assert r["mesh"]["data"] == data
+            np.testing.assert_allclose(r["losses"], ref["losses"],
+                                       rtol=1e-4)
+            for k, v in ref["weight_fingerprint"].items():
+                got = r["weight_fingerprint"][k]
+                np.testing.assert_allclose(got, v, rtol=1e-5,
+                                           err_msg=f"{data=} {k}")
+
+
 def test_single_process_stream_on_virtual_mesh(weights):
     """The same runner degenerates to one process on the 8-device mesh."""
     from srcnn_cpp_tpu.parallel.distributed import frame_mesh, run_synthetic
