@@ -1,14 +1,26 @@
-"""On-chip A/B: 8-matmul kernel vs stacked-matmul kernel, with tile sweep.
+"""On-chip kernel A/B harness — one parameterized runner for every
+fused-kernel experiment of rounds 1-2 (formerly kernel_ab{,2,3,4,5}.py;
+all historical numbers are recorded in KERNEL_NOTES.md).
 
-Interleaved best-of-N (shared chip, ±2x run-to-run variance — see
-KERNEL_NOTES.md).  Also bit-checks stacked vs unstacked output at 4K.
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/kernel_ab.py <exp>
 
-Usage (real TPU):
-    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/kernel_ab.py
+Experiments:
+    stacked   8-matmul kernel vs block-stacked kernel, single-4K tile sweep
+    dbuf      double-buffered slab DMA on/off
+    rpb       rows-per-block lane batching (1/2/4)
+    stencil   per-row scatter vs contiguous block stencil (+ row clamp)
+    packed    tile sweep at the lane-packed batch geometry (add "4k" for
+              the 8x4K packing instead of 32x1080p)
+
+Methodology (axon relay): interleaved best-of-N per variant in one
+process (shared chip, +-2x run-to-run variance), completion fenced with a
+tiny host fetch, compile failures tolerated per variant.  Every variant is
+bit-checked against the experiment's anchor before timing.
 """
 
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
@@ -19,56 +31,119 @@ from srcnn_cpp_tpu.ops.pallas_srcnn import _fused_call, _prep_weights
 from srcnn_cpp_tpu.runtime import enable_compilation_cache
 from srcnn_cpp_tpu.weights import load_weights
 
-H, W = 2160, 3840
-TILES = [(16, 640), (24, 640), (32, 640), (16, 768), (32, 512)]
+H4K, W4K = 2160, 3840
+
+
+def _pad_plane(base, th, tw, halo: bool):
+    """Pad a plane for _fused_call: (gh*th+16, gw*tw+128), edge mode.
+
+    ``halo=True`` uses the production wrapper's 6-px replicate halo
+    offsets (packed geometry); ``halo=False`` pads only at the far edges
+    (kernel-only timing on a raw plane).
+    """
+    h, w = base.shape
+    hp = -(-h // th) * th
+    wp = -(-w // tw) * tw
+    if halo:
+        return np.pad(base, ((6, 10 + hp - h), (6, 122 + wp - w)),
+                      mode="edge")
+    return np.pad(base, ((0, hp + 16 - h), (0, wp + 128 - w)), mode="edge")
+
+
+def _experiment(name: str):
+    """-> (plane_hw, halo, mp, cases); each case is (name, pk_tag, th, tw,
+    kwargs)."""
+    rng = np.random.default_rng(0)
+    if name == "packed":
+        b, h, w = (8, H4K, W4K) if "4k" in sys.argv[2:] else (32, 1080, 1920)
+        wc = b * (w + 8)
+        cases = [(f"{th}x{tw}-r{rpb}", "new", th, tw,
+                  dict(true_h=h, rpb=rpb))
+                 for th, tw, rpb in [(64, 3712, 1), (72, 3712, 1),
+                                     (80, 3712, 1), (64, 1856, 2),
+                                     (32, 3712, 1), (64, 2560, 1)]]
+        return (h, wc), True, b * h * w / 1e6, cases
+    mp = H4K * W4K / 1e6
+    if name == "stacked":
+        tiles = [(16, 640), (24, 640), (32, 640), (16, 768), (32, 512)]
+        cases = [("old-16x640", "old", 16, 640, {})]
+        cases += [(f"new-{th}x{tw}", "new", th, tw, {}) for th, tw in tiles]
+    elif name == "dbuf":
+        cases = [("dbuf-off", "new", 64, 3840, dict(dbuf=False)),
+                 ("dbuf-on-1920", "new", 64, 1920, dict(dbuf=True)),
+                 ("dbuf-on-3840", "new", 64, 3840, dict(dbuf=True))]
+    elif name == "rpb":
+        cases = [(f"r{rpb}-{th}x{tw}", "new", th, tw, dict(rpb=rpb))
+                 for th, tw, rpb in [(64, 3840, 1), (64, 960, 2),
+                                     (64, 1280, 2), (64, 640, 4),
+                                     (32, 1280, 2)]]
+    elif name == "stencil":
+        cases = [
+            ("row-stencil", "new", 64, 3840,
+             dict(ablate=frozenset({"rowstencil"}))),
+            ("block-stencil", "new", 64, 3840, {}),
+            ("block+clamp", "new", 64, 3840, dict(true_h=H4K)),
+        ]
+    else:
+        raise SystemExit(f"unknown experiment {name!r}; see --help")
+    return (H4K, W4K), False, mp, cases
 
 
 def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print(__doc__)
+        return
+    exp = sys.argv[1]
+    (h, w), halo, mp, cases = _experiment(exp)
+
     enable_compilation_cache()
     weights = load_weights()
-    pk_old = jax.tree_util.tree_map(
-        jnp.asarray, _prep_weights(weights, stacked=False))
-    pk_new = jax.tree_util.tree_map(
-        jnp.asarray, _prep_weights(weights, stacked=True))
+    packs = {
+        "old": jax.tree_util.tree_map(
+            jnp.asarray, _prep_weights(weights, stacked=False)),
+        "new": jax.tree_util.tree_map(
+            jnp.asarray, _prep_weights(weights, stacked=True)),
+    }
+    base = np.random.default_rng(0).integers(0, 256, (h, w), dtype=np.uint8)
 
-    rng = np.random.default_rng(0)
     fns, outs = {}, {}
-    for th, tw in TILES:
-        hp = ((H + th - 1) // th) * th
-        wp = ((W + tw - 1) // tw) * tw
-        y = jnp.asarray(rng.integers(
-            0, 256, (hp + 16, wp + 128), dtype=np.uint8))
-        for tag, pk in (("old", pk_old), ("new", pk_new)):
-            if tag == "old" and (th, tw) != (16, 640):
-                continue  # old kernel only at its production tile
-            name = f"{tag}-{th}x{tw}"
-            fns[name] = (lambda y=y, pk=pk, th=th, tw=tw:
-                         _fused_call(y, pk, th, tw))
+    for name, tag, th, tw, kw in cases:
+        y = jnp.asarray(_pad_plane(base, th, tw, halo))
+        fns[name] = (lambda y=y, pk=packs[tag], th=th, tw=tw, kw=kw:
+                     _fused_call(y, pk, th, tw, **kw))
+        try:
             out = fns[name]()
-            np.asarray(out[:2, :2])  # compile + fence (relay-safe)
-            outs[name] = (out, H, W)
-            print(f"compiled {name}", flush=True)
+            np.asarray(out[:2, :2])   # compile + fence (relay-safe)
+        except Exception as e:  # VMEM spill etc.: drop, keep sweeping
+            print(f"compile FAILED {name}: {type(e).__name__}", flush=True)
+            fns.pop(name)
+            continue
+        outs[name] = out
+        print(f"compiled {name}", flush=True)
 
-    a = np.asarray(outs["old-16x640"][0])[:H, :W]
-    b = np.asarray(outs["new-16x640"][0])[:H, :W]
-    print(f"bit-check old vs new @16x640: max LSB "
-          f"{np.abs(a.astype(int) - b.astype(int)).max()}", flush=True)
+    anchor = next(iter(outs))
+    a = np.asarray(outs[anchor][:h, :w]).astype(int)
+    for name, o in outs.items():
+        if name == anchor:
+            continue
+        d = np.abs(np.asarray(o[:h, :w]).astype(int) - a).max()
+        # clamp/ablate variants legitimately differ at borders; report all
+        print(f"bit-check {anchor} vs {name}: max LSB {d}", flush=True)
 
-    best = {name: float("inf") for name in fns}
-    for rep in range(4):
-        for name in fns:
+    best = {n: float("inf") for n in fns}
+    for _ in range(5):
+        for name, fn in fns.items():
             t0 = time.monotonic()
-            n = 6
+            n = 4
             for _ in range(n):
-                out = fns[name]()
+                out = fn()
             np.asarray(out[:2, :2])
             best[name] = min(best[name], (time.monotonic() - t0) / n)
 
-    mp = H * W / 1e6
-    print(f"\nplane {W}x{H} = {mp:.1f} MP (kernel-only, includes pad strips)")
-    print(f"{'variant':>16}  {'ms':>8}  {'MP/s':>8}")
+    print(f"\n[{exp}] plane {w}x{h}, useful {mp:.1f} MP")
+    print(f"{'variant':>18}  {'ms':>8}  {'MP/s':>8}")
     for name in fns:
-        print(f"{name:>16}  {best[name]*1e3:8.2f}  {mp/best[name]:8.1f}")
+        print(f"{name:>18}  {best[name] * 1e3:8.2f}  {mp / best[name]:8.1f}")
 
 
 if __name__ == "__main__":

@@ -22,7 +22,11 @@ from pathlib import Path
 
 import numpy as np
 
-from .imageio import imread_bgr
+from .imageio import decode_provenance, imread_bgr
+
+#: the decoder that minted the recorded EVAL.md numbers (JPEG decode
+#: differs between decoders, shifting PSNR in the 3rd decimal)
+EVAL_DECODE_PROVENANCE = {"decoder": "cv2", "version": "5.0.0"}
 from .oracle import bgr2ycrcb_u8_ref
 from .ops.resize_tables import resize_bicubic_u8_np
 from .utils.metrics import psnr, ssim
@@ -113,6 +117,11 @@ def main(argv=None) -> int:
     if not files:
         print("srcnn-eval: no images found", file=sys.stderr)
         return 1
+    prov = decode_provenance()
+    if prov != EVAL_DECODE_PROVENANCE:
+        print(f"srcnn-eval: WARNING decode provenance {prov} != "
+              f"{EVAL_DECODE_PROVENANCE} that minted EVAL.md — JPEG-decode "
+              f"differences shift PSNR in the 3rd decimal", file=sys.stderr)
     weights = load_weights()
     rows = []
     for f in files:
@@ -133,7 +142,8 @@ def main(argv=None) -> int:
     mean = {k: float(np.mean([r[k] for r in rows]))
             for k in ("psnr_bicubic", "psnr_srcnn", "ssim_bicubic", "ssim_srcnn")}
     if args.json:
-        print(json.dumps({"scale": args.scale, "images": rows, "mean": mean}))
+        print(json.dumps({"scale": args.scale, "images": rows, "mean": mean,
+                          "decode": prov}))
     else:
         print(f"{'MEAN':28s} x{args.scale:g}  "
               f"bicubic {mean['psnr_bicubic']:.2f} dB / {mean['ssim_bicubic']:.4f}"

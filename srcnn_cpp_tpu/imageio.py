@@ -77,6 +77,24 @@ def conv_image(buf, w: int, h: int, d: int) -> np.ndarray:
     raise ValueError(f"unsupported depth {d}; expected 1, 2, 3 or 4")
 
 
+def decode_provenance() -> dict:
+    """Identify the image decoder in use: ``{"decoder", "version"}``.
+
+    JPEG decode differs between cv2 (libjpeg-turbo build settings) and
+    PIL, which shifts eval PSNR in the 3rd decimal — recorded EVAL.md
+    numbers pin the decoder that minted them (cv2 5.0.0 on this host) and
+    ``evaluate`` embeds this provenance in its output.
+    """
+    if _HAVE_CV2:
+        return {"decoder": "cv2", "version": cv2.__version__}
+    try:
+        import PIL
+
+        return {"decoder": "PIL", "version": PIL.__version__}
+    except Exception:  # pragma: no cover
+        return {"decoder": "none", "version": ""}
+
+
 def imread_bgr(path: str | Path) -> np.ndarray | None:
     """Decode an image file to BGR uint8 [H, W, 3]; None on failure."""
     path = str(path)

@@ -36,6 +36,17 @@ def test_evaluate_cli_json(tmp_path):
     assert rc == 0
     data = json.loads(buf.getvalue())
     assert data["images"][0]["image"] == "t.png"
+    assert data["decode"]["decoder"] == "cv2"
+
+
+def test_eval_decode_provenance_matches_recorded():
+    # EVAL.md numbers were minted with this exact decoder; if this fails,
+    # re-mint EVAL.md (JPEG decode shifts PSNR in the 3rd decimal) and
+    # update EVAL_DECODE_PROVENANCE
+    from srcnn_cpp_tpu.evaluate import EVAL_DECODE_PROVENANCE
+    from srcnn_cpp_tpu.imageio import decode_provenance
+
+    assert decode_provenance() == EVAL_DECODE_PROVENANCE
 
 
 def test_stream_upscaler_pipelines_in_order(weights):
