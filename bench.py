@@ -27,15 +27,19 @@ import time
 
 import numpy as np
 
+import os
+
 BASELINE_MPS = 0.0178  # reference binary, test.jpg x2, this host
-BATCH = 64  # batch sweep (benchmarks/batch_sweep.py): 16/32/64 -> 1108/1332/1375 MP/s
-ITERS = 6
-KERNEL = "pallas"  # fused single-pass kernel (ops/pallas_srcnn.py)
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+ITERS = int(os.environ.get("BENCH_ITERS", "6"))
+# env overrides allow on-chip A/Bs without editing the file
+KERNEL = os.environ.get("BENCH_KERNEL", "pallas")  # ops/pallas_srcnn.py
 # the accuracy-gated configuration: the exact engine's horizontal pass is
 # now an exact banded matmul (ops/resize.py), putting it within ~12% of the
 # non-bit-exact "fast" engine (4.4 vs 5.0 GP/s at 4K) — so the headline
-# number IS the bit-exact path
-RESIZE = "exact"
+# number IS the bit-exact path.  "fused" = the single-pass Pallas color+
+# resize pre-pass (ops/pallas_resize.py), bit-identical on chip.
+RESIZE = os.environ.get("BENCH_RESIZE", "exact")
 
 
 def main() -> None:

@@ -61,13 +61,13 @@ def print_help(file=sys.stdout) -> None:
     print("  --noverbose        run silently", file=file)
     print("  --kernel=<name>    conv backend: pallas (default), xla, xla_split",
           file=file)
-    print("  --resize=<mode>    bicubic engine: exact (default) or fast", file=file)
+    print("  --resize=<mode>    bicubic engine: exact (default), fast, or fused", file=file)
     print("  --repeat=<int>     time the compute span over N runs", file=file)
     print("  --help             this message", file=file)
 
 
 KERNELS = ("pallas", "xla", "xla_split")
-RESIZE_MODES = ("exact", "fast")
+RESIZE_MODES = ("exact", "fast", "fused")
 
 
 class UsageError(ValueError):

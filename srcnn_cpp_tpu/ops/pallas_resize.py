@@ -1,0 +1,187 @@
+"""Fused color-convert + bicubic-upscale Pallas kernel (the pre-pass).
+
+The e2e profile (KERNEL_NOTES round 2f) shows the non-conv span spread
+across ~15 small XLA fusions — dense hpass matmul, color descale chains,
+vpass phase slices, u8 interleaves — each writing a full plane to HBM.
+This kernel runs the whole pre-pass (reference src/srcnn.cpp:509 cvtColor
++ :570-583 per-channel bicubic) in ONE pass over output tiles: DMA the
+BGR u8 slab once, color-convert, horizontal+vertical phase-form bicubic,
+round/clamp, interleave — all in VMEM — and write the upscaled YCrCb u8
+tile once.  HBM traffic per frame drops to one low-res read + one
+high-res write (~3 ms of v5e bandwidth at batch-32 1080p vs ~19 ms for
+the fusion chain).
+
+Numerics are IDENTICAL to the exact engines (bit-for-bit):
+
+* color: the same 14-bit fixed-point arithmetic in exact f32
+  (ops/color._descale_f32 — every intermediate an exact integer in f32);
+* horizontal pass: the lane-phase form's contiguous slices x int-valued
+  f32 coefficients — every product < 2^19 and 4-term sum < 2^22, exact
+  in f32 in ANY order (ops/resize._hphase_plan);
+* vertical pass: the phase form's strided row slices with OpenCV's
+  right-to-left separate mul/add roundings, the identical op sequence as
+  ops/resize._vpass (ops/resize._vphase_plan);
+* replicate padding: input-edge replication commutes with the per-row/
+  per-column passes, so padding the INPUT plane reproduces the engines'
+  row/column padding of intermediates.
+
+Bit-identity caveat (CPU ONLY): XLA:CPU may contract the vertical pass's
+mul+add into an FMA (single rounding) DEPENDING ON PROGRAM CONTEXT — the
+same `_vpass` sequence rounds differently in different programs (verified:
+an exact-155.5 pixel computes as 155.49998 in one jit and 155.5 in
+another; `lax.optimization_barrier` does not stop it).  So on the CPU
+backend a handful of exact-boundary pixels (~1e-5 of pixels) can differ
+by 1 LSB between this kernel and the XLA engine.  On TPU neither XLA nor
+Mosaic contracts f32 mul+add, and the engine itself is verified bit-exact
+vs OpenCV on chip (EVAL.md); the on-chip gate for this kernel is
+bit-identity (tests/test_tpu.py).
+
+Scope: geometries where both phase plans exist with source step 1 —
+i.e. integer upscales (x2 is every BASELINE config).  The wrapper
+returns None otherwise and the caller falls back to the XLA engines.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .color import _B2Y, _CB2G, _CB2B, _CR2G, _CR2R, _DELTA, _G2Y, _R2CR, \
+    _B2CB, _R2Y, _descale_f32
+from .resize import _hphase_plan, _vphase_plan
+
+__all__ = ["pre_upscale_fused"]
+
+
+def _kernel(bgr_ref, out_ref, slab, dma_sem, *, tih: int, tiw: int,
+            svp: int, swp: int, pv: int, ph: int, vb, vc, hb, hc):
+    """One (3, pv*tih, ph*tiw) output tile from a (3, svp, swp) BGR slab."""
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    copy = pltpu.make_async_copy(
+        bgr_ref.at[b, :, pl.ds(i * tih, svp), pl.ds(j * tiw, swp)],
+        slab, dma_sem)
+    copy.start()
+    copy.wait()
+    x = slab[...].astype(jnp.int32).astype(jnp.float32)
+
+    # fixed-point color conversion, exact in f32 (ops/color.py semantics)
+    bl, gr, rd = x[0], x[1], x[2]
+    y = _descale_f32(bl * _B2Y + gr * _G2Y + rd * _R2Y)
+    cr = _descale_f32((rd - y) * _R2CR + _DELTA)
+    cb = _descale_f32((bl - y) * _B2CB + _DELTA)
+    # clip to the u8 range like bgr2ycrcb_u8_planar (y/cr/cb of valid BGR
+    # are already in range; the clip matches the engine exactly anyway)
+    ycc = jnp.clip(jnp.stack([y, cr, cb], axis=0), 0.0, 255.0)
+
+    th = pv * tih
+    cols = []
+    for p in range(ph):
+        # horizontal phase p: 4 contiguous lane slices x int coefficients
+        # (exact integer sums in f32, ops/resize.py hplan branch)
+        rp = ycc[:, :, hb[p][3]: hb[p][3] + tiw] * jnp.float32(hc[p][3])
+        for k in (2, 1, 0):
+            rp = ycc[:, :, hb[p][k]: hb[p][k] + tiw] * jnp.float32(hc[p][k]) \
+                + rp                                      # [3, svp, tiw]
+        phases = []
+        for q in range(pv):
+            # vertical phase q: OpenCV's right-to-left separate mul/add
+            # roundings — the identical op sequence as ops/resize._vpass
+            r2 = rp[:, vb[q][3]: vb[q][3] + tih, :] * vc[q][3]
+            for k in (2, 1, 0):
+                r2 = rp[:, vb[q][k]: vb[q][k] + tih, :] * vc[q][k] + r2
+            phases.append(jnp.clip(jnp.round(r2), 0.0, 255.0))
+        col = phases[0] if pv == 1 else jnp.stack(
+            phases, axis=2).reshape(3, th, tiw)   # rows interleaved
+        cols.append(col)
+    out = cols[0] if ph == 1 else jnp.stack(
+        cols, axis=3).reshape(3, th, ph * tiw)    # lanes interleaved
+    out_ref[0] = out.astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tih", "tiw", "svp", "swp", "pv", "ph",
+                              "vb", "vc", "hb", "hc", "gh", "gw"))
+def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
+                    gh, gw):
+    nb = ypad.shape[0]
+    body = functools.partial(
+        _kernel, tih=tih, tiw=tiw, svp=svp, swp=swp, pv=pv, ph=ph,
+        vb=vb, vc=vc, hb=hb, hc=hc)
+    return pl.pallas_call(
+        body,
+        grid=(nb, gh, gw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 3, pv * tih, ph * tiw), lambda b, i, j: (b, 0, i, j),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb, 3, gh * pv * tih, gw * ph * tiw), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((3, svp, swp), ypad.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(ypad)
+
+
+def _plan_static(plan_bases, plan_coefs):
+    """Hashable (tuple-of-tuples) bases/coefs for static kernel params."""
+    bases = tuple(tuple(int(v) for v in row) for row in plan_bases)
+    coefs = tuple(tuple(float(np.float32(v)) for v in row)
+                  for row in plan_coefs)
+    return bases, coefs
+
+
+def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):
+    """Planar BGR u8 ``[B, 3, H, W]`` -> upscaled YCrCb u8 ``[B, 3, oh, ow]``.
+
+    Fused color+bicubic pre-pass, bit-identical to
+    ``resize_bicubic_u8(bgr2ycrcb_u8_planar(x), out_hw)``.  Returns None
+    when the geometry has no step-1 phase plan on either axis (the caller
+    falls back to the XLA engines).
+    """
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    ih, iw = bgr_p.shape[-2:]
+    if oh < 8 or ow < 128:
+        return None                      # tiny planes: not worth a kernel
+    vplan = _vphase_plan(oh, ih)
+    hplan = _hphase_plan(ow, iw)
+    if vplan is None or hplan is None or vplan[1] != 1:
+        return None
+    pv, _, top, _, vb_l, vc_l = vplan
+    ph, left, _, hb_l, hc_l = hplan
+    vb, vc = _plan_static(vb_l, vc_l)
+    hb, hc = _plan_static(hb_l, hc_l)
+
+    squeeze = bgr_p.ndim == 3
+    x = bgr_p[None] if squeeze else bgr_p
+
+    # tile size: tih rows / tiw lanes PER PHASE (output tile pv*tih x
+    # ph*tiw); shrink for short/narrow planes
+    tih = max(8, min(32, (oh // pv) // 8 * 8))
+    tiw = max(128, min(256, (ow // ph) // 128 * 128))
+    gh = -(-oh // (pv * tih))
+    gw = -(-ow // (ph * tiw))
+    max_vb = max(v for row in vb for v in row)
+    max_hb = max(v for row in hb for v in row)
+    svp = -(-(max_vb + tih) // 8) * 8
+    swp = -(-(max_hb + tiw) // 128) * 128
+    # pad the input so every tile's slab window exists: slab (i, j) reads
+    # rows [i*tih, i*tih + svp), cols [j*tiw, j*tiw + swp) of the padded
+    # plane; edge mode realizes the replicate border (and keeps the
+    # overshoot rows/cols of the last tiles benign — their outputs crop)
+    need_r = (gh - 1) * tih + svp
+    need_c = (gw - 1) * tiw + swp
+    ypad = jnp.pad(
+        x, ((0, 0), (0, 0),
+            (top, max(0, need_r - top - ih)),
+            (left, max(0, need_c - left - iw))),
+        mode="edge")
+    out = _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
+                          gh, gw)[:, :, :oh, :ow]
+    return out[0] if squeeze else out

@@ -40,9 +40,18 @@ def _upscale_planar_jit(bgr_p, weights: SRCNNWeights, out_hw: tuple[int, int],
                         backend_kernel: str = "pallas",
                         resize_mode: str = "exact"):
     """Planar BGR u8 ``[B, 3, H, W]`` -> planar BGR u8 ``[B, 3, oh, ow]``."""
-    ycc = bgr2ycrcb_u8_planar(bgr_p)
-    rs = resize_bicubic_u8_fast if resize_mode == "fast" else resize_bicubic_u8
-    up = rs(ycc, out_hw)                                  # [B, 3, oh, ow]
+    up = None
+    if resize_mode == "fused":
+        # single-pass Pallas color+bicubic pre-pass (bit-identical); None
+        # when the geometry has no integer-upscale phase plan -> fall back
+        from .ops.pallas_resize import pre_upscale_fused
+
+        up = pre_upscale_fused(bgr_p, out_hw)
+    if up is None:
+        ycc = bgr2ycrcb_u8_planar(bgr_p)
+        rs = (resize_bicubic_u8_fast if resize_mode == "fast"
+              else resize_bicubic_u8)
+        up = rs(ycc, out_hw)                              # [B, 3, oh, ow]
     if backend_kernel == "pallas":
         from .ops.pallas_srcnn import srcnn_y_fused
 

@@ -1,0 +1,98 @@
+"""Fused color+resize pre-pass kernel: parity vs the XLA engines.
+
+Runs in Pallas interpret mode on CPU.  The numerics contract is
+bit-identity with ``resize_bicubic_u8(bgr2ycrcb_u8_planar(x), out_hw)``
+ON TPU; on the CPU backend XLA may FMA-contract the vertical pass's
+mul+add *program-dependently* (see ops/pallas_resize.py docstring), so a
+handful of exact-.5-boundary pixels (~1e-5) may flip by 1 LSB between the
+two programs here.  CPU tests therefore allow <=1 LSB on a tiny fraction;
+the strict on-chip gate lives in tests/test_tpu.py.
+"""
+
+import numpy as np
+import pytest
+
+
+def _ref(bgr_p, out_hw):
+    from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+
+    return np.asarray(resize_bicubic_u8(bgr2ycrcb_u8_planar(bgr_p), out_hw))
+
+
+def _assert_parity(got, ref):
+    got, ref = np.asarray(got), np.asarray(ref)
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 1e-4, (d > 0).mean()   # boundary flips only
+
+
+@pytest.mark.parametrize("ih,iw,s", [
+    (64, 96, 2), (32, 160, 2), (40, 128, 3), (24, 96, 4),
+])
+def test_fused_pre_parity_integer_scales(ih, iw, s):
+    from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+
+    rng = np.random.default_rng(ih + iw + s)
+    x = rng.integers(0, 256, (2, 3, ih, iw), dtype=np.uint8)
+    out_hw = (ih * s, iw * s)
+    got = pre_upscale_fused(x, out_hw)
+    assert got is not None, (ih, iw, s)
+    _assert_parity(got, _ref(x, out_hw))
+
+
+def test_fused_pre_bench_geometry():
+    # the production x2 shape family (scaled down in H for test speed):
+    # full-width 1080p columns exercise the real tiling/tile-overshoot
+    from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (1, 3, 48, 1920), dtype=np.uint8)
+    got = pre_upscale_fused(x, (96, 3840))
+    assert got is not None
+    _assert_parity(got, _ref(x, (96, 3840)))
+
+
+def test_fused_pre_single_frame_squeeze():
+    from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (3, 40, 144), dtype=np.uint8)
+    got = pre_upscale_fused(x, (80, 288))
+    assert got is not None and got.shape == (3, 80, 288)
+    _assert_parity(got, _ref(x[None], (80, 288))[0])
+
+
+def test_fused_pre_declines_nonphase_geometries():
+    from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+
+    x = np.zeros((1, 3, 64, 128), dtype=np.uint8)
+    # x1.5: the vertical plan has source step 2 -> no step-1 plan
+    assert pre_upscale_fused(x, (96, 192)) is None
+    # downscale: no phase plan at all
+    assert pre_upscale_fused(x, (32, 640)) is None
+    # tiny planes decline too
+    assert pre_upscale_fused(np.zeros((1, 3, 2, 16), np.uint8),
+                             (4, 32)) is None
+
+
+def test_pipeline_resize_fused_matches_exact(weights):
+    from srcnn_cpp_tpu.pipeline import _upscale_planar_jit
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 256, (2, 3, 32, 144), dtype=np.uint8)
+    a = np.asarray(_upscale_planar_jit(x, weights, (64, 288), "xla",
+                                       "exact"))
+    b = np.asarray(_upscale_planar_jit(x, weights, (64, 288), "xla",
+                                       "fused"))
+    # pre-pass boundary flips propagate through the conv, so compare with
+    # the same tolerance shape as the pre-pass parity
+    d = np.abs(a.astype(int) - b.astype(int))
+    assert d.max() <= 2 and (d > 0).mean() < 1e-3, (d.max(), (d > 0).mean())
+    # non-integer scale falls back inside the jit: identical by definition
+    a = np.asarray(_upscale_planar_jit(x, weights, (48, 216), "xla",
+                                       "exact"))
+    b = np.asarray(_upscale_planar_jit(x, weights, (48, 216), "xla",
+                                       "fused"))
+    assert np.array_equal(a, b)

@@ -45,6 +45,32 @@ out = np.asarray(upscale_bgr(bgr, 1.5))
 d2 = np.abs(out.astype(int) - ref.astype(int))
 res["pipeline_vs_binary_max_lsb"] = int(d2.max())
 res["pipeline_vs_binary_frac"] = float((d2 > 0).mean())
+
+# fused color+resize pre-pass (Mosaic): BIT-identical to the XLA engines
+# on chip (neither XLA-TPU nor Mosaic FMA-contracts the vpass; the CPU
+# suite can only check ~1e-5-loose parity, see tests/test_pallas_resize.py)
+from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
+from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+
+xb = np.random.default_rng(1).integers(0, 256, (2, 3, 270, 480),
+                                       dtype=np.uint8)
+fp = pre_upscale_fused(xb, (540, 960))
+eng = resize_bicubic_u8(bgr2ycrcb_u8_planar(xb), (540, 960))
+d3 = np.abs(np.asarray(fp).astype(int) - np.asarray(eng).astype(int))
+res["fused_pre_vs_engine_max_lsb"] = int(d3.max())
+
+# pallas-inside-shard_map tiled paths (Mosaic on real chip), 1-D and 2-D
+import jax
+if len(jax.devices()) >= 1:
+    from srcnn_cpp_tpu.parallel import make_mesh
+    from srcnn_cpp_tpu.parallel.tiling import srcnn_y_tiled
+    mesh = make_mesh(data=1, row=1, col=1)
+    yt = np.random.default_rng(2).integers(0, 256, (1, 64, 128),
+                                           dtype=np.uint8)
+    dt = np.abs(np.asarray(srcnn_y_tiled(yt, w, mesh, kernel="pallas"))
+                .astype(int) - np.asarray(srcnn_y(yt, w)).astype(int))
+    res["pallas_tiled_max_lsb"] = int(dt.max())
 print("RESULT " + json.dumps(res))
 """
 
@@ -62,3 +88,5 @@ def test_tpu_golden_gates():
     assert res["pallas_vs_xla_max_lsb"] <= 1
     assert res["pipeline_vs_binary_max_lsb"] <= 2
     assert res["pipeline_vs_binary_frac"] < 0.01
+    assert res["fused_pre_vs_engine_max_lsb"] == 0   # bit-identical on chip
+    assert res.get("pallas_tiled_max_lsb", 0) <= 1
