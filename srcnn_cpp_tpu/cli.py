@@ -61,7 +61,8 @@ def print_help(file=sys.stdout) -> None:
     print("  --noverbose        run silently", file=file)
     print("  --kernel=<name>    conv backend: pallas (default), xla, xla_split",
           file=file)
-    print("  --resize=<mode>    bicubic engine: exact (default), fast, or fused", file=file)
+    print("  --resize=<mode>    pre/post passes: exact (default), fast, or "
+          "fused (Pallas)", file=file)
     print("  --repeat=<int>     time the compute span over N runs", file=file)
     print("  --help             this message", file=file)
 

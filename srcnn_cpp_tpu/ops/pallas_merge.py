@@ -1,0 +1,93 @@
+"""Fused merge + YCrCb->BGR Pallas kernel (the post-pass).
+
+The reference's last two pipeline stages are ``merge([Y', Cr, Cb])``
+(src/srcnn.cpp:638-639) and ``cvtColor(YCrCb2BGR)`` (src/srcnn.cpp:657).
+In the XLA pipeline those are a channel stack + the fixed-point inverse
+conversion — a full-plane u8 intermediate written to and re-read from
+HBM plus whatever relayouts the stack needs.  This kernel does both in
+one pass over output tiles: read the super-resolved Y tile and the
+upscaled Cr/Cb tiles, run OpenCV's 14-bit fixed-point inverse transform
+in exact f32, clip, and write the planar BGR u8 tile.  Per frame the
+post-pass becomes one read of each input plane + one BGR write.
+
+Numerics are IDENTICAL to ``ycrcb2bgr_u8_planar`` on every backend:
+every product and sum in the inverse transform is an integer of
+magnitude < 2^23 (exact in f32 regardless of FMA contraction — an FMA
+of exactly-representable values with an exactly-representable result
+rounds to that result), so unlike the pre-pass's vertical resize there
+is no boundary-rounding hazard; CPU tests assert bit equality.
+
+The kernel reads the full 3-channel ``up`` block and uses only Cr/Cb —
+blocked indexing cannot express a channel-1..2 window, and the extra
+Y-channel read costs ~1/6 of the post-pass HBM traffic, far less than a
+materialized ``up[:, 1:]`` slice would.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .color import _CB2B, _CB2G, _CR2G, _CR2R, _descale_f32
+
+__all__ = ["merge_ycrcb_to_bgr_fused"]
+
+
+def _kernel(y_ref, up_ref, out_ref):
+    """One (3, th, tw) BGR tile from Y' (th, tw) and up-YCrCb (3, th, tw)."""
+    y = y_ref[0].astype(jnp.int32).astype(jnp.float32)
+    cr = up_ref[0, 1].astype(jnp.int32).astype(jnp.float32) - 128.0
+    cb = up_ref[0, 2].astype(jnp.int32).astype(jnp.float32) - 128.0
+    b = y + _descale_f32(cb * _CB2B)
+    g = y + _descale_f32(cb * _CB2G + cr * _CR2G)
+    r = y + _descale_f32(cr * _CR2R)
+    out = jnp.clip(jnp.stack([b, g, r], axis=0), 0.0, 255.0)
+    out_ref[0] = out.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw"))
+def _merge_call(y_sr, up, th, tw):
+    nb, oh, ow = y_sr.shape
+    return pl.pallas_call(
+        _kernel,
+        grid=(nb, oh // th, ow // tw),
+        in_specs=[
+            pl.BlockSpec((1, th, tw), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, 3, th, tw), lambda b, i, j: (b, 0, i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, 3, th, tw), lambda b, i, j: (b, 0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((nb, 3, oh, ow), jnp.uint8),
+        interpret=jax.default_backend() == "cpu",
+    )(y_sr, up)
+
+
+def _pick_divisor(n: int, unit: int, cap: int) -> int | None:
+    """Largest multiple of ``unit`` that divides ``n``, at most ``cap``."""
+    best = None
+    for d in range(unit, cap + 1, unit):
+        if n % d == 0:
+            best = d
+    return best
+
+
+def merge_ycrcb_to_bgr_fused(y_sr, up):
+    """``Y' [B, oh, ow]`` + upscaled YCrCb ``[B, 3, oh, ow]`` -> BGR u8.
+
+    Bit-identical to ``ycrcb2bgr_u8_planar(stack([y_sr, up[:,1], up[:,2]]))``
+    on every backend.  Returns None when no aligned tiling divides the
+    geometry (rows need a multiple of 8, lanes a multiple of 128); the
+    caller falls back to the XLA path.
+    """
+    nb, oh, ow = y_sr.shape
+    tw = _pick_divisor(ow, 128, 1920)
+    if tw is None:
+        return None
+    # bound tile area so the ~6 live f32 intermediates stay ~3 MB of VMEM
+    th = _pick_divisor(oh, 8, max(8, (128 * 1024) // tw // 8 * 8))
+    if th is None:
+        return None
+    return _merge_call(y_sr, up, th, tw)

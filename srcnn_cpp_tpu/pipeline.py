@@ -62,6 +62,14 @@ def _upscale_planar_jit(bgr_p, weights: SRCNNWeights, out_hw: tuple[int, int],
         y_sr = srcnn_y_split(up[:, 0], weights)
     else:
         y_sr = srcnn_y(up[:, 0], weights)                 # [B, oh, ow]
+    if resize_mode == "fused":
+        # single-pass Pallas merge + inverse color (bit-identical on every
+        # backend); None when no aligned tiling divides the geometry
+        from .ops.pallas_merge import merge_ycrcb_to_bgr_fused
+
+        out = merge_ycrcb_to_bgr_fused(y_sr, up)
+        if out is not None:
+            return out
     merged = jnp.stack([y_sr, up[:, 1], up[:, 2]], axis=-3)
     return ycrcb2bgr_u8_planar(merged)
 

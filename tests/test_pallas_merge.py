@@ -1,0 +1,76 @@
+"""Fused merge+YCrCb->BGR post-pass kernel: bit equality vs the XLA path.
+
+Unlike the pre-pass (see test_pallas_resize.py), the inverse color
+transform is integer-exact in f32 on every backend — no FMA-contraction
+rounding hazard — so these tests assert full bit equality even on CPU
+(interpret mode).
+"""
+
+import numpy as np
+import pytest
+
+
+def _ref(y_sr, up):
+    import jax.numpy as jnp
+
+    from srcnn_cpp_tpu.ops.color import ycrcb2bgr_u8_planar
+
+    merged = jnp.stack([jnp.asarray(y_sr), jnp.asarray(up[:, 1]),
+                        jnp.asarray(up[:, 2])], axis=-3)
+    return np.asarray(ycrcb2bgr_u8_planar(merged))
+
+
+@pytest.mark.parametrize("b,oh,ow", [
+    (2, 64, 128), (1, 40, 256), (3, 136, 1920),
+])
+def test_merge_fused_bit_equal(b, oh, ow):
+    from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
+
+    rng = np.random.default_rng(oh + ow)
+    y_sr = rng.integers(0, 256, (b, oh, ow), dtype=np.uint8)
+    up = rng.integers(0, 256, (b, 3, oh, ow), dtype=np.uint8)
+    got = merge_ycrcb_to_bgr_fused(y_sr, up)
+    assert got is not None
+    assert np.array_equal(np.asarray(got), _ref(y_sr, up))
+
+
+def test_merge_fused_full_u8_range_rows():
+    # exercise every (y, cr) and (y, cb) pair on clip boundaries: extreme
+    # chroma drives b/g/r far outside [0, 255]
+    from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
+
+    y = np.tile(np.arange(256, dtype=np.uint8), (1, 8, 1))
+    for cr, cb in [(0, 0), (255, 255), (0, 255), (255, 0), (128, 128)]:
+        up = np.empty((1, 3, 8, 256), dtype=np.uint8)
+        up[:, 1] = cr
+        up[:, 2] = cb
+        got = merge_ycrcb_to_bgr_fused(y, up)
+        assert got is not None
+        assert np.array_equal(np.asarray(got), _ref(y, up)), (cr, cb)
+
+
+def test_merge_fused_declines_unaligned_geometry():
+    from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
+
+    # 576 lanes have no multiple-of-128 divisor <= 1920
+    y = np.zeros((1, 64, 576), dtype=np.uint8)
+    up = np.zeros((1, 3, 64, 576), dtype=np.uint8)
+    assert merge_ycrcb_to_bgr_fused(y, up) is None
+    # 12 rows have no multiple-of-8 divisor
+    y = np.zeros((1, 12, 128), dtype=np.uint8)
+    up = np.zeros((1, 3, 12, 128), dtype=np.uint8)
+    assert merge_ycrcb_to_bgr_fused(y, up) is None
+
+
+def test_pipeline_fused_post_pass_engages(weights):
+    # x2 on an aligned geometry: the fused pipeline output must stay within
+    # the pre-pass boundary-flip tolerance of the exact path (the post-pass
+    # itself is bit-exact; flips originate in the CPU pre-pass only)
+    from srcnn_cpp_tpu.pipeline import _upscale_planar_jit
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, (1, 3, 32, 128), dtype=np.uint8)
+    a = np.asarray(_upscale_planar_jit(x, weights, (64, 256), "xla", "exact"))
+    b = np.asarray(_upscale_planar_jit(x, weights, (64, 256), "xla", "fused"))
+    d = np.abs(a.astype(int) - b.astype(int))
+    assert d.max() <= 2 and (d > 0).mean() < 1e-3, (d.max(), (d > 0).mean())
