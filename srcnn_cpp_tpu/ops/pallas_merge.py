@@ -54,7 +54,9 @@ def _merge_call(y_sr, up, th, tw):
     nb, oh, ow = y_sr.shape
     return pl.pallas_call(
         _kernel,
-        grid=(nb, oh // th, ow // tw),
+        # ceil grids: tile shapes need not divide the plane — Pallas masks
+        # the ragged boundary blocks (reads pad, writes crop)
+        grid=(nb, -(-oh // th), -(-ow // tw)),
         in_specs=[
             pl.BlockSpec((1, th, tw), lambda b, i, j: (b, i, j)),
             pl.BlockSpec((1, 3, th, tw), lambda b, i, j: (b, 0, i, j)),
@@ -65,29 +67,19 @@ def _merge_call(y_sr, up, th, tw):
     )(y_sr, up)
 
 
-def _pick_divisor(n: int, unit: int, cap: int) -> int | None:
-    """Largest multiple of ``unit`` that divides ``n``, at most ``cap``."""
-    best = None
-    for d in range(unit, cap + 1, unit):
-        if n % d == 0:
-            best = d
-    return best
-
-
 def merge_ycrcb_to_bgr_fused(y_sr, up):
     """``Y' [B, oh, ow]`` + upscaled YCrCb ``[B, 3, oh, ow]`` -> BGR u8.
 
     Bit-identical to ``ycrcb2bgr_u8_planar(stack([y_sr, up[:,1], up[:,2]]))``
-    on every backend.  Returns None when no aligned tiling divides the
-    geometry (rows need a multiple of 8, lanes a multiple of 128); the
-    caller falls back to the XLA path.
+    on every backend.  Tile shapes are (8, 128)-aligned; ragged edges ride
+    Pallas's masked boundary blocks, so every geometry is covered.  Returns
+    None only for planes too small to be worth a kernel launch; the caller
+    falls back to the XLA path.
     """
     nb, oh, ow = y_sr.shape
-    tw = _pick_divisor(ow, 128, 1920)
-    if tw is None:
+    if oh < 8 or ow < 128:
         return None
+    tw = min(1920, -(-ow // 128) * 128)
     # bound tile area so the ~6 live f32 intermediates stay ~3 MB of VMEM
-    th = _pick_divisor(oh, 8, max(8, (128 * 1024) // tw // 8 * 8))
-    if th is None:
-        return None
+    th = min(max(8, (128 * 1024) // tw // 8 * 8), -(-oh // 8) * 8)
     return _merge_call(y_sr, up, th, tw)

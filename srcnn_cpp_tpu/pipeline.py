@@ -64,7 +64,7 @@ def _upscale_planar_jit(bgr_p, weights: SRCNNWeights, out_hw: tuple[int, int],
         y_sr = srcnn_y(up[:, 0], weights)                 # [B, oh, ow]
     if resize_mode == "fused":
         # single-pass Pallas merge + inverse color (bit-identical on every
-        # backend); None when no aligned tiling divides the geometry
+        # backend); None only for planes too small to be worth a kernel
         from .ops.pallas_merge import merge_ycrcb_to_bgr_fused
 
         out = merge_ycrcb_to_bgr_fused(y_sr, up)

@@ -49,16 +49,30 @@ def test_merge_fused_full_u8_range_rows():
         assert np.array_equal(np.asarray(got), _ref(y, up)), (cr, cb)
 
 
-def test_merge_fused_declines_unaligned_geometry():
+@pytest.mark.parametrize("b,oh,ow", [
+    (1, 64, 576),    # ragged lane blocks (576 = 4.5 x 128): butterfly x1.5
+    (1, 12, 128),    # ragged row block
+    (2, 537, 1111),  # ragged both axes, odd sizes
+])
+def test_merge_fused_ragged_geometry_bit_equal(b, oh, ow):
     from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
 
-    # 576 lanes have no multiple-of-128 divisor <= 1920
-    y = np.zeros((1, 64, 576), dtype=np.uint8)
-    up = np.zeros((1, 3, 64, 576), dtype=np.uint8)
+    rng = np.random.default_rng(3 * oh + ow)
+    y_sr = rng.integers(0, 256, (b, oh, ow), dtype=np.uint8)
+    up = rng.integers(0, 256, (b, 3, oh, ow), dtype=np.uint8)
+    got = merge_ycrcb_to_bgr_fused(y_sr, up)
+    assert got is not None
+    assert np.array_equal(np.asarray(got), _ref(y_sr, up))
+
+
+def test_merge_fused_declines_tiny_planes():
+    from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
+
+    y = np.zeros((1, 64, 96), dtype=np.uint8)
+    up = np.zeros((1, 3, 64, 96), dtype=np.uint8)
     assert merge_ycrcb_to_bgr_fused(y, up) is None
-    # 12 rows have no multiple-of-8 divisor
-    y = np.zeros((1, 12, 128), dtype=np.uint8)
-    up = np.zeros((1, 3, 12, 128), dtype=np.uint8)
+    y = np.zeros((1, 4, 128), dtype=np.uint8)
+    up = np.zeros((1, 3, 4, 128), dtype=np.uint8)
     assert merge_ycrcb_to_bgr_fused(y, up) is None
 
 
