@@ -111,11 +111,13 @@ def single_8k(weights: SRCNNWeights | None = None, mesh=None,
 
 
 def stream_4k30(weights: SRCNNWeights | None = None, scale: float = 2.0,
-                depth: int = 3, kernel: str = "pallas"):
+                depth: int = 3, kernel: str = "pallas",
+                resize: str = "exact"):
     """Runner: the pipelined video upscaler (push/drain protocol)."""
     from .stream import StreamUpscaler
 
-    return StreamUpscaler(scale, weights=weights, kernel=kernel, depth=depth)
+    return StreamUpscaler(scale, weights=weights, kernel=kernel, depth=depth,
+                          resize=resize)
 
 
 def stream_4k30_distributed(mesh=None, weights: SRCNNWeights | None = None,

@@ -45,9 +45,11 @@ class StreamUpscaler:
     """
 
     def __init__(self, scale: float, weights: SRCNNWeights | None = None,
-                 kernel: str = "pallas", depth: int = 3, batch: int = 1):
+                 kernel: str = "pallas", depth: int = 3, batch: int = 1,
+                 resize: str = "exact"):
         self.scale = float(scale)
         self.kernel = kernel
+        self.resize = resize
         self.depth = int(depth)
         self.batch = max(1, int(batch))
         self.weights = weights if weights is not None else load_weights()
@@ -60,7 +62,7 @@ class StreamUpscaler:
 
         self._inflight.append(upscale_bgr_batch(
             np.stack(self._pending), self.scale, self.weights,
-            kernel=self.kernel))
+            kernel=self.kernel, resize=self.resize))
         self._pending = []
 
     def _complete_oldest(self) -> None:
@@ -86,12 +88,12 @@ class StreamUpscaler:
 
 
 def run_synthetic(n: int, size: tuple[int, int], scale: float,
-                  kernel: str, batch: int = 1) -> dict:
+                  kernel: str, batch: int = 1, resize: str = "exact") -> dict:
     """Throughput benchmark over synthetic frames; returns fps/MP/s."""
     h, w = size
     rng = np.random.default_rng(0)
     frame = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    up = StreamUpscaler(scale, kernel=kernel, batch=batch)
+    up = StreamUpscaler(scale, kernel=kernel, batch=batch, resize=resize)
     for _ in range(up.batch):  # compile the full-batch dispatch shape
         up.push(frame)
     for _ in up.drain():
@@ -115,7 +117,8 @@ def run_synthetic(n: int, size: tuple[int, int], scale: float,
 
 
 def run_video(src: str, dst: str, scale: float, kernel: str,
-              verbose: bool = True, batch: int = 1) -> int:
+              verbose: bool = True, batch: int = 1,
+              resize: str = "exact") -> int:
     try:
         import cv2
     except Exception:
@@ -126,7 +129,7 @@ def run_video(src: str, dst: str, scale: float, kernel: str,
         print(f"stream: cannot open {src!r}", file=sys.stderr)
         return 1
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-    up = StreamUpscaler(scale, kernel=kernel, batch=batch)
+    up = StreamUpscaler(scale, kernel=kernel, batch=batch, resize=resize)
     writer = None
     n = 0
 
@@ -169,6 +172,10 @@ def main(argv=None) -> int:
                     help="benchmark N synthetic frames instead of a file")
     ap.add_argument("--size", default="1920x1080",
                     help="synthetic frame WxH")
+    ap.add_argument("--resize", default="exact",
+                    choices=["exact", "fast", "fused"],
+                    help="pre/post passes: exact XLA engine, fast banded "
+                         "matmul, or fused Pallas (bit-identical on TPU)")
     ap.add_argument("--batch", type=int, default=1,
                     help="micro-batch size per dispatch (bit-identical; "
                          "higher throughput, +batch-1 frames latency)")
@@ -177,7 +184,7 @@ def main(argv=None) -> int:
     if args.synthetic:
         w, h = (int(t) for t in args.size.lower().split("x"))
         r = run_synthetic(args.synthetic, (h, w), args.scale, args.kernel,
-                          batch=args.batch)
+                          batch=args.batch, resize=args.resize)
         print(f"synthetic {r['frames']} frames {args.size} x{args.scale:g}: "
               f"{r['fps']:.1f} fps  ({r['mps']:.0f} MP/s output)")
         return 0
@@ -185,7 +192,7 @@ def main(argv=None) -> int:
         ap.print_help()
         return 1
     return run_video(args.src, args.dst, args.scale, args.kernel,
-                     batch=args.batch)
+                     batch=args.batch, resize=args.resize)
 
 
 if __name__ == "__main__":

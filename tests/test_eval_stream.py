@@ -120,3 +120,26 @@ def test_stream_micro_batch_bit_identical_and_ordered(weights):
     assert len(a) == len(b) == len(frames)
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def test_stream_fused_resize_mode(weights):
+    # the resize="fused" knob rides the Pallas pre/post passes; outputs
+    # must stay within the pre-pass's CPU boundary-flip tolerance of the
+    # exact path (bit-identical on TPU; see ops/pallas_resize.py)
+    from srcnn_cpp_tpu.stream import StreamUpscaler
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (16, 64, 3), dtype=np.uint8)
+              for _ in range(3)]
+
+    def collect(resize):
+        up = StreamUpscaler(2.0, weights=weights, depth=1, resize=resize)
+        outs = [o for f in frames if (o := up.push(f)) is not None]
+        outs.extend(up.drain())
+        return outs
+
+    a, b = collect("exact"), collect("fused")
+    assert len(a) == len(b) == len(frames)
+    for x, y in zip(a, b):
+        d = np.abs(x.astype(int) - y.astype(int))
+        assert d.max() <= 2 and (d > 0).mean() < 1e-3
