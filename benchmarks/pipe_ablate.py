@@ -12,6 +12,9 @@ dependency exactly like bench.py, interleaved best-of-N):
   no-edgefix  : full minus the left/right strip recompute (per-frame conv)
   no-pack     : full with the per-frame lax.map conv (no lane packing)
   no-conv     : full minus SRCNN (bicubic-only pipeline)
+  fused-pre   : Pallas color+bicubic pre-pass (ops/pallas_resize.py)
+  fused-post  : Pallas merge+inverse-color post-pass (ops/pallas_merge.py)
+  fused-both  : both Pallas passes (the --resize=fused pipeline)
 
 Usage (real TPU):
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/pipe_ablate.py
@@ -77,9 +80,15 @@ def main() -> None:
     packed = jax.tree_util.tree_map(jnp.asarray, _prep_weights(weights))
 
     def pipe(x, *, color="f32", hmode="dense", conv="fused", edgefix=True,
-             pack=True):
-        ycc = (bgr2ycrcb_int if color == "int" else bgr2ycrcb_u8_planar)(x)
-        up = resize_bicubic_u8(ycc, (oh, ow), hmode)
+             pack=True, pre="engine", post="engine"):
+        if pre == "pallas":
+            from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+
+            up = pre_upscale_fused(x, (oh, ow))
+            assert up is not None, "no phase plan at the bench geometry?"
+        else:
+            ycc = (bgr2ycrcb_int if color == "int" else bgr2ycrcb_u8_planar)(x)
+            up = resize_bicubic_u8(ycc, (oh, ow), hmode)
         if conv == "none":
             y_sr = up[:, 0]
         elif not edgefix:
@@ -90,6 +99,12 @@ def main() -> None:
                 y)[:, :oh, :ow]
         else:
             y_sr = srcnn_y_fused(up[:, 0], weights, pack=pack)
+        if post == "pallas":
+            from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
+
+            out = merge_ycrcb_to_bgr_fused(y_sr, up)
+            assert out is not None
+            return out
         merged = jnp.stack([y_sr, up[:, 1], up[:, 2]], axis=-3)
         return (ycrcb2bgr_int if color == "int" else ycrcb2bgr_u8_planar)(
             merged)
@@ -102,6 +117,9 @@ def main() -> None:
         "no-edgefix": jax.jit(partial(pipe, edgefix=False)),
         "no-pack": jax.jit(partial(pipe, pack=False)),
         "no-conv": jax.jit(partial(pipe, conv="none")),
+        "fused-pre": jax.jit(partial(pipe, pre="pallas")),
+        "fused-post": jax.jit(partial(pipe, post="pallas")),
+        "fused-both": jax.jit(partial(pipe, pre="pallas", post="pallas")),
     }
 
     def chain(fn, n):
@@ -138,6 +156,12 @@ def main() -> None:
           f"{1e3*(best['int-color'] - best['full']):6.2f} ms")
     print(f"pack gain (no-pack - full)   : "
           f"{1e3*(best['no-pack'] - best['full']):6.2f} ms")
+    print(f"fused-pre gain (full - fused-pre)  : "
+          f"{1e3*(best['full'] - best['fused-pre']):6.2f} ms")
+    print(f"fused-post gain (full - fused-post): "
+          f"{1e3*(best['full'] - best['fused-post']):6.2f} ms")
+    print(f"fused-both gain (full - fused-both): "
+          f"{1e3*(best['full'] - best['fused-both']):6.2f} ms")
 
 
 if __name__ == "__main__":

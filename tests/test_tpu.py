@@ -60,6 +60,31 @@ eng = resize_bicubic_u8(bgr2ycrcb_u8_planar(xb), (540, 960))
 d3 = np.abs(np.asarray(fp).astype(int) - np.asarray(eng).astype(int))
 res["fused_pre_vs_engine_max_lsb"] = int(d3.max())
 
+# fused merge post-pass (Mosaic): bit-identical everywhere, including the
+# masked ragged boundary blocks (576 = 4.5 x 128 lanes)
+from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
+from srcnn_cpp_tpu.ops.color import ycrcb2bgr_u8_planar
+import jax.numpy as jnp
+
+rngm = np.random.default_rng(4)
+ys = rngm.integers(0, 256, (2, 60, 576), dtype=np.uint8)
+upm = rngm.integers(0, 256, (2, 3, 60, 576), dtype=np.uint8)
+got = merge_ycrcb_to_bgr_fused(ys, upm)
+refm = ycrcb2bgr_u8_planar(jnp.stack(
+    [jnp.asarray(ys), jnp.asarray(upm[:, 1]), jnp.asarray(upm[:, 2])],
+    axis=-3))
+res["fused_merge_ragged_max_lsb"] = int(np.abs(
+    np.asarray(got).astype(int) - np.asarray(refm).astype(int)).max())
+
+# whole fused pipeline (pre + conv + post Pallas) vs the exact path
+from srcnn_cpp_tpu.pipeline import _upscale_planar_jit
+xf = np.random.default_rng(5).integers(0, 256, (2, 3, 128, 256),
+                                       dtype=np.uint8)
+a = np.asarray(_upscale_planar_jit(xf, w, (256, 512), "pallas", "exact"))
+b = np.asarray(_upscale_planar_jit(xf, w, (256, 512), "pallas", "fused"))
+res["fused_pipeline_max_lsb"] = int(np.abs(a.astype(int)
+                                           - b.astype(int)).max())
+
 # pallas-inside-shard_map tiled paths (Mosaic on real chip), 1-D and 2-D
 import jax
 if len(jax.devices()) >= 1:
@@ -89,4 +114,6 @@ def test_tpu_golden_gates():
     assert res["pipeline_vs_binary_max_lsb"] <= 2
     assert res["pipeline_vs_binary_frac"] < 0.01
     assert res["fused_pre_vs_engine_max_lsb"] == 0   # bit-identical on chip
+    assert res["fused_merge_ragged_max_lsb"] == 0    # bit-identical on chip
+    assert res["fused_pipeline_max_lsb"] == 0        # bit-identical on chip
     assert res.get("pallas_tiled_max_lsb", 0) <= 1
