@@ -96,3 +96,26 @@ def test_pipeline_resize_fused_matches_exact(weights):
     b = np.asarray(_upscale_planar_jit(x, weights, (48, 216), "xla",
                                        "fused"))
     assert np.array_equal(a, b)
+
+
+def test_fused_pre_fuzz_random_geometries():
+    # randomized integer-upscale geometries: odd widths/heights exercise
+    # ragged tile overshoot, phase interleaves and the padding arithmetic
+    from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+
+    rng = np.random.default_rng(42)
+    tried = 0
+    for _ in range(12):
+        s = int(rng.integers(2, 5))
+        ih = int(rng.integers(9, 70))
+        iw = int(rng.integers(33, 400))
+        out_hw = (ih * s, iw * s)
+        if out_hw[0] < 8 or out_hw[1] < 128:
+            continue
+        x = rng.integers(0, 256, (1, 3, ih, iw), dtype=np.uint8)
+        got = pre_upscale_fused(x, out_hw)
+        if got is None:      # geometry without a step-1 phase plan
+            continue
+        tried += 1
+        _assert_parity(got, _ref(x, out_hw))
+    assert tried >= 6, f"fuzz covered only {tried} geometries"
