@@ -34,12 +34,16 @@ BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 # env overrides allow on-chip A/Bs without editing the file
 KERNEL = os.environ.get("BENCH_KERNEL", "pallas")  # ops/pallas_srcnn.py
+if KERNEL not in ("pallas", "xla", "xla_split"):    # typo -> silent exact/xla
+    raise SystemExit(f"bench: unknown BENCH_KERNEL={KERNEL!r}")
 # the accuracy-gated configuration: the exact engine's horizontal pass is
 # now an exact banded matmul (ops/resize.py), putting it within ~12% of the
 # non-bit-exact "fast" engine (4.4 vs 5.0 GP/s at 4K) — so the headline
 # number IS the bit-exact path.  "fused" = the single-pass Pallas color+
 # resize pre-pass (ops/pallas_resize.py), bit-identical on chip.
 RESIZE = os.environ.get("BENCH_RESIZE", "exact")
+if RESIZE not in ("exact", "fast", "fused"):
+    raise SystemExit(f"bench: unknown BENCH_RESIZE={RESIZE!r}")
 
 
 def main() -> None:

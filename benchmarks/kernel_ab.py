@@ -53,7 +53,6 @@ def _pad_plane(base, th, tw, halo: bool):
 def _experiment(name: str):
     """-> (plane_hw, halo, mp, cases); each case is (name, pk_tag, th, tw,
     kwargs)."""
-    rng = np.random.default_rng(0)
     if name == "packed":
         b, h, w = (8, H4K, W4K) if "4k" in sys.argv[2:] else (32, 1080, 1920)
         wc = b * (w + 8)

@@ -176,14 +176,14 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int, hmode: str = "dense"):
     ih, iw = img.shape
     yi, _, yfc = cv_cubic_tables(oh, ih)
     vplan = _vphase_plan(oh, ih)   # computed once, shared by every phase
-    auto = hmode == "dense" and iw * ow > _DENSE_HBAND_LIMIT
-    if auto:
-        hmode = "phase" if _hphase_plan(ow, iw) is not None else "block"
     # horizontal pass: OpenCV accumulates int32 row sums (HResizeNoVec);
     # the same integer values are produced here by an exact banded matmul
     # on the MXU (the old lane-axis gather form was the whole engine's
     # bottleneck at ~3.5 ms/MP on TPU)
-    hplan = _hphase_plan(ow, iw) if hmode == "phase" else None
+    auto = hmode == "dense" and iw * ow > _DENSE_HBAND_LIMIT
+    hplan = _hphase_plan(ow, iw) if (auto or hmode == "phase") else None
+    if auto:
+        hmode = "phase" if hplan is not None else "block"
     if hplan is not None:
         # lane-phase form (integer upscales): each phase's taps are
         # contiguous lane slices x scalar int coefficients — the identical

@@ -376,7 +376,6 @@ def run_video(src: str, dst: str | None, scale: float, mesh,
         nonlocal writer
         n_valid, inputs = pending.popleft()
         for k in range(n_valid):
-            frame = np.ascontiguousarray(np.moveaxis(out_g[k], 0, -1))
             if check:
                 mono = np.asarray(_upscale_planar_jit(
                     inputs[k:k + 1], weights, (oh, ow), "xla", "exact"))[0]
@@ -389,7 +388,13 @@ def run_video(src: str, dst: str | None, scale: float, mesh,
                     writer = cv2.VideoWriter(
                         dst, cv2.VideoWriter_fourcc(*codec), in_fps,
                         (ow, oh))
-                writer.write(frame)
+                    if not writer.isOpened():
+                        raise RuntimeError(
+                            f"cannot open video writer for {dst!r} "
+                            f"(codec {codec!r} unavailable?)")
+                # HWC copy only where it is actually written
+                writer.write(np.ascontiguousarray(
+                    np.moveaxis(out_g[k], 0, -1)))
             stats["frames"] += 1
 
     group: list[np.ndarray] = []

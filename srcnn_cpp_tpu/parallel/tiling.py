@@ -185,8 +185,10 @@ def _srcnn_tile2d_fused(y_block, weights, row_axis: str = "row",
     out = out.at[:, -m:, :].set(jnp.where(ri == nr - 1, bf, out[:, -m:, :]))
 
     # left/right columns: transposed strips from the row-extended tile
-    # (corr2d(x^T, k^T) == corr2d(x, k)^T; conv2 is 1x1)
-    ext_r = _halo_exchange_rows(y_block, HALO, row_axis)   # [B, Ht+12, Wt]
+    # (corr2d(x^T, k^T) == corr2d(x, k)^T; conv2 is 1x1).  The row exchange
+    # acts per column, so ext's interior column slice IS the row-extended
+    # tile bitwise — no second ppermute pair needed.
+    ext_r = ext[:, :, HALO:-HALO]                          # [B, Ht+12, Wt]
     wt_w = _transpose_weights(weights)
     lcT = srcnn_y_split(jnp.swapaxes(ext_r[:, :, :8], 1, 2), wt_w)
     rcT = srcnn_y_split(jnp.swapaxes(ext_r[:, :, -8:], 1, 2), wt_w)

@@ -139,6 +139,8 @@ def run_video(src: str, dst: str, scale: float, kernel: str,
             oh, ow = out.shape[:2]
             writer = cv2.VideoWriter(
                 dst, cv2.VideoWriter_fourcc(*"mp4v"), fps, (ow, oh))
+            if not writer.isOpened():
+                raise RuntimeError(f"cannot open video writer for {dst!r}")
         writer.write(out)
         n += 1
 
