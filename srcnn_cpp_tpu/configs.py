@@ -50,7 +50,8 @@ def batch_1080p_to_4k(weights: SRCNNWeights | None = None, batch: int = 32,
 
 
 def single_8k(weights: SRCNNWeights | None = None, mesh=None,
-              scale: float = 2.0, kernel: str = "xla"):
+              scale: float = 2.0, kernel: str = "xla",
+              resize: str = "exact"):
     """Runner: one huge frame; rows tile over the mesh when given.
 
     On the mesh path EVERY stage is sharded: the whole pipeline is one
@@ -58,7 +59,10 @@ def single_8k(weights: SRCNNWeights | None = None, mesh=None,
     stages (GSPMD inserts the resize's boundary comms) and the explicit
     halo-exchange tiling for the conv — no unsharded full-plane op remains
     (round-2 judge finding).  ``kernel="pallas"`` runs the fused kernel
-    per device for the conv.
+    per device for the conv; ``resize="fused"`` runs the pre-pass as one
+    Pallas kernel per device too (explicit ppermute input halos,
+    parallel/tiling.pre_upscale_fused_rows) with the GSPMD engine as the
+    automatic fallback for geometries it declines.
     """
     weights = weights if weights is not None else load_weights()
     step = spec = None
@@ -72,14 +76,17 @@ def single_8k(weights: SRCNNWeights | None = None, mesh=None,
 
         from .ops.color import bgr2ycrcb_u8_planar, ycrcb2bgr_u8_planar
         from .ops.resize import resize_bicubic_u8
-        from .parallel import upscale_y_tiled
+        from .parallel import pre_upscale_fused_rows, upscale_y_tiled
 
         spec = NamedSharding(mesh, P(None, "row", None))
 
         @partial(jax.jit, static_argnames=("out_hw",))
         def step(planar, w, out_hw):
             planar = lax.with_sharding_constraint(planar, spec)
-            up = resize_bicubic_u8(bgr2ycrcb_u8_planar(planar), out_hw)
+            up = (pre_upscale_fused_rows(planar, out_hw, mesh)
+                  if resize == "fused" else None)
+            if up is None:
+                up = resize_bicubic_u8(bgr2ycrcb_u8_planar(planar), out_hw)
             up = lax.with_sharding_constraint(up, spec)     # [3, oh, ow] u8
             y_sr = upscale_y_tiled(up[0], w, mesh, kernel)
             out = jnp.stack([y_sr, up[1], up[2]], axis=0)

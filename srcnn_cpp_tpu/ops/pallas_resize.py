@@ -137,18 +137,17 @@ def _plan_static(plan_bases, plan_coefs):
     return bases, coefs
 
 
-def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):
-    """Planar BGR u8 ``[B, 3, H, W]`` -> upscaled YCrCb u8 ``[B, 3, oh, ow]``.
+def _pre_statics(oh: int, ih: int, ow: int, iw: int):
+    """Static phase tables for the fused pre-pass, or None.
 
-    Fused color+bicubic pre-pass, bit-identical to
-    ``resize_bicubic_u8(bgr2ycrcb_u8_planar(x), out_hw)``.  Returns None
-    when the geometry has no step-1 phase plan on either axis (the caller
-    falls back to the XLA engines).
+    ``None`` when the geometry has no step-1 phase plan on either axis
+    (callers fall back to the XLA engines).  The tables are hashable so
+    they ride jit static args; they are GLOBAL-geometry tables — a
+    row-sharded caller may reuse them per local block because the plans
+    are bitwise-periodic and the local phase aligns whenever each
+    device's output rows are a multiple of ``pv`` (see
+    parallel/tiling.pre_upscale_fused_rows).
     """
-    oh, ow = int(out_hw[0]), int(out_hw[1])
-    ih, iw = bgr_p.shape[-2:]
-    if oh < 8 or ow < 128:
-        return None                      # tiny planes: not worth a kernel
     vplan = _vphase_plan(oh, ih)
     hplan = _hphase_plan(ow, iw)
     if vplan is None or hplan is None or vplan[1] != 1:
@@ -157,10 +156,24 @@ def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):
     ph, left, _, hb_l, hc_l = hplan
     vb, vc = _plan_static(vb_l, vc_l)
     hb, hc = _plan_static(hb_l, hc_l)
+    return pv, top, ph, left, vb, vc, hb, hc
 
-    squeeze = bgr_p.ndim == 3
-    x = bgr_p[None] if squeeze else bgr_p
 
+def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0):
+    """Run the kernel over ``x [B, 3, rows, W]`` -> YCrCb ``[B, 3, oh, ow]``.
+
+    ``rows_above`` rows of REAL vertical context sit above the first owned
+    input row (a sharded caller passes halo rows there; the monolith
+    passes 0).  Everything the slab windows need beyond the provided rows
+    is edge-padded: ``top - rows_above`` rows above (replicate == the
+    reference clamp at a true edge; a sharded caller provides
+    ``rows_above == top`` so nothing is invented), plus alignment/
+    overshoot slack below and on both column sides.  Trailing slack
+    rows/cols are read by the last tiles' slabs but contribute only to
+    outputs that are cropped away.
+    """
+    pv, top, ph, left, vb, vc, hb, hc = statics
+    rows, iw = x.shape[-2:]
     # tile size: tih rows / tiw lanes PER PHASE (output tile pv*tih x
     # ph*tiw); shrink for short/narrow planes
     tih = max(8, min(32, (oh // pv) // 8 * 8))
@@ -179,9 +192,29 @@ def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):
     need_c = (gw - 1) * tiw + swp
     ypad = jnp.pad(
         x, ((0, 0), (0, 0),
-            (top, max(0, need_r - top - ih)),
+            (top - rows_above, max(0, need_r - (top - rows_above) - rows)),
             (left, max(0, need_c - left - iw))),
         mode="edge")
-    out = _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
-                          gh, gw)[:, :, :oh, :ow]
+    return _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
+                           gh, gw)[:, :, :oh, :ow]
+
+
+def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):
+    """Planar BGR u8 ``[B, 3, H, W]`` -> upscaled YCrCb u8 ``[B, 3, oh, ow]``.
+
+    Fused color+bicubic pre-pass, bit-identical to
+    ``resize_bicubic_u8(bgr2ycrcb_u8_planar(x), out_hw)``.  Returns None
+    when the geometry has no step-1 phase plan on either axis (the caller
+    falls back to the XLA engines).
+    """
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    ih, iw = bgr_p.shape[-2:]
+    if oh < 8 or ow < 128:
+        return None                      # tiny planes: not worth a kernel
+    statics = _pre_statics(oh, ih, ow, iw)
+    if statics is None:
+        return None
+    squeeze = bgr_p.ndim == 3
+    x = bgr_p[None] if squeeze else bgr_p
+    out = _apply_fused_pre(x, oh, ow, statics)
     return out[0] if squeeze else out

@@ -15,7 +15,8 @@ The reference's only parallelism is OpenMP row-loops in one process
 """
 
 from .mesh import make_mesh
-from .tiling import srcnn_y_tiled, upscale_y_tiled
+from .tiling import (pre_upscale_fused_rows, srcnn_y_tiled,
+                     upscale_y_tiled)
 
 
 def __getattr__(name):
@@ -34,6 +35,7 @@ def __getattr__(name):
     raise AttributeError(name)
 
 
-__all__ = ["make_mesh", "srcnn_y_tiled", "upscale_y_tiled", "srcnn_y_gspmd",
+__all__ = ["make_mesh", "srcnn_y_tiled", "upscale_y_tiled",
+           "pre_upscale_fused_rows", "srcnn_y_gspmd",
            "initialize", "scaling_efficiency", "DistributedStream",
            "frame_mesh"]

@@ -353,3 +353,103 @@ def upscale_y_tiled(y_u8, weights, mesh: Mesh, kernel: str = "xla"):
         n_bad = min(2, h)
         out = out.at[:, h - n_bad:, :].set(fix[:, strip - n_bad:, :])
     return out[0] if squeeze else out
+
+
+def _halo_exchange_rows_asym(y, top: int, bot: int, axis_name: str = "row"):
+    """Asymmetric row halo: ``top`` rows from above, ``bot`` from below.
+
+    Same semantics as :func:`_halo_exchange_rows` (neighbor rows at
+    interior seams via ppermute, replicate rows at true edges) but with
+    independent per-side counts — the bicubic pre-pass needs ``top=1`` /
+    ``bot=2``-shaped halos (tap window asymmetry), not the conv stack's
+    symmetric 6.
+    """
+    n = lax.axis_size(axis_name)
+    edge_t = jnp.repeat(y[..., :1, :], top, axis=-2)
+    edge_b = jnp.repeat(y[..., -1:, :], bot, axis=-2)
+    if n == 1:
+        return jnp.concatenate([edge_t, y, edge_b], axis=-2)
+    idx = lax.axis_index(axis_name)
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i + 1, i) for i in range(n - 1)]
+    recv_top = lax.ppermute(y[..., -top:, :], axis_name, down)
+    recv_bot = lax.ppermute(y[..., :bot, :], axis_name, up)
+    lead = jnp.where(idx == 0, edge_t, recv_top)
+    tail = jnp.where(idx == n - 1, edge_b, recv_bot)
+    return jnp.concatenate([lead, y, tail], axis=-2)
+
+
+@partial(jax.jit, static_argnames=("out_hw", "mesh", "statics", "oh_loc",
+                                   "top", "bot", "batch_axis"))
+def _pre_fused_rows_call(x, out_hw, mesh, statics, oh_loc, top, bot,
+                         batch_axis):
+    spec = P(batch_axis, None, "row", None)
+
+    def fn(blk):
+        from ..ops.pallas_resize import _apply_fused_pre
+
+        ext = _halo_exchange_rows_asym(blk, top, bot)   # [b, 3, Hi+t+b, W]
+        return _apply_fused_pre(ext, oh_loc, out_hw[1], statics,
+                                rows_above=top)
+
+    return shard_map(
+        fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        # pallas_call's out_shape carries no varying-mesh-axes info, so
+        # the vma checker cannot see through the kernel
+        check_vma=False,
+    )(x)
+
+
+def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
+    """Row-sharded fused color+bicubic pre-pass over a device mesh.
+
+    Planar BGR u8 ``[B, 3, H, W]`` (or ``[3, H, W]``) -> upscaled YCrCb u8,
+    batch over ``data`` and input/output rows over ``row`` — each device
+    runs ONE Pallas pre-pass kernel (ops/pallas_resize.py) on its row
+    block after an asymmetric ppermute halo of the LOW-RES input (``top``
+    rows from above, ``max_tap - top`` from below: the full vertical
+    bicubic tap window).  Per-device output rows are a multiple of the
+    vertical phase period ``pv`` (guaranteed when ``row`` divides H, since
+    pv divides the integer scale), so every device evaluates the same
+    bitwise-periodic global phase plan at its own offset: the stitched
+    plane is the monolithic kernel's output exactly.
+
+    Returns None when no step-1 phase plan exists or the mesh does not
+    divide the geometry (callers fall back to the GSPMD-sharded XLA
+    engine).  The semantic counterpart of the reference's per-channel
+    OpenCV resize (src/srcnn.cpp:570-583), sharded.
+    """
+    from ..ops.pallas_resize import _pre_statics
+
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    squeeze = bgr_p.ndim == 3
+    x = bgr_p[None] if squeeze else bgr_p
+    b, _, ih, iw = x.shape
+    nrow = mesh.shape["row"]
+    ndata = mesh.shape["data"]
+    if mesh.shape.get("col", 1) > 1:
+        return None                      # rows-only sharding (lane halos
+        # would need a column exchange; measured unnecessary — see 2-D A/B)
+    if ih % nrow or oh % nrow or oh < 8 * nrow or ow < 128:
+        return None
+    # batch shards over data only when it divides; replicated otherwise
+    # (the single-frame 8K config runs on (data, row) meshes with B == 1)
+    batch_axis = "data" if ndata > 1 and b % ndata == 0 else None
+    statics = _pre_statics(oh, ih, ow, iw)
+    if statics is None:
+        return None
+    pv, top = statics[0], statics[1]
+    if (oh // nrow) % pv:
+        return None
+    max_vb = max(v for row in statics[4] for v in row)
+    bot = max_vb - top
+    if max(top, bot) > ih // nrow:       # halo exceeds one neighbor block
+        return None
+    sharding = NamedSharding(mesh, P(batch_axis, None, "row", None))
+    # traced callers (a jitted config step) use a constraint; eager callers
+    # place the array directly
+    xs = (lax.with_sharding_constraint(x, sharding)
+          if isinstance(x, jax.core.Tracer) else jax.device_put(x, sharding))
+    out = _pre_fused_rows_call(xs, (oh, ow), mesh, statics, oh // nrow,
+                               top, bot, batch_axis)
+    return out[0] if squeeze else out

@@ -132,3 +132,21 @@ def test_stream_config(weights):
     outs = [r for r in (up.push(f), up.push(f)) if r is not None]
     outs += list(up.drain())
     assert len(outs) == 2 and outs[0].shape == (32, 32, 3)
+
+
+def test_single_8k_meshed_fused_pre(weights):
+    # resize="fused" rides the row-sharded Pallas pre-pass inside the
+    # jitted sharded step; output must match the exact-engine mesh path
+    # within the CPU FMA boundary-flip tolerance
+    import numpy as np
+
+    from srcnn_cpp_tpu.configs import single_8k
+    from srcnn_cpp_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=2, row=4)
+    rng = np.random.default_rng(4)
+    bgr = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    a = single_8k(weights, mesh=mesh, kernel="pallas")(bgr)
+    b = single_8k(weights, mesh=mesh, kernel="pallas", resize="fused")(bgr)
+    d = np.abs(a.astype(int) - b.astype(int))
+    assert d.max() <= 2 and (d > 0).mean() < 1e-3, (d.max(), (d > 0).mean())

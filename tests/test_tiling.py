@@ -171,3 +171,39 @@ def test_pallas_tiled_2d_matches_monolithic(weights):
     mesh = make_mesh(data=2, row=2, col=2)
     with np.testing.assert_raises(ValueError):
         srcnn_y_tiled(y[:, :12, :], weights, mesh, kernel="pallas")
+
+
+def test_pre_upscale_fused_rows_matches_monolith(weights, mesh24):
+    # row-sharded Pallas pre-pass: stitched plane vs the monolithic kernel
+    # and the XLA engine.  Exact on one backend/program pair is the TPU
+    # gate (test_tpu.py); CPU allows the documented FMA boundary flips.
+    from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
+    from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+    from srcnn_cpp_tpu.parallel import pre_upscale_fused_rows
+
+    rng = np.random.default_rng(7)
+    for s, b in [(2, 2), (3, 4)]:
+        x = rng.integers(0, 256, (b, 3, 64, 160), dtype=np.uint8)
+        out_hw = (64 * s, 160 * s)
+        got = pre_upscale_fused_rows(x, out_hw, mesh24)
+        assert got is not None, (s, b)
+        for ref in (pre_upscale_fused(x, out_hw),
+                    resize_bicubic_u8(bgr2ycrcb_u8_planar(x), out_hw)):
+            d = np.abs(np.asarray(got).astype(int)
+                       - np.asarray(ref).astype(int))
+            assert d.max() <= 1 and (d > 0).mean() < 1e-4, (s, b, d.max())
+
+
+def test_pre_upscale_fused_rows_declines(weights, mesh24):
+    from srcnn_cpp_tpu.parallel import make_mesh, pre_upscale_fused_rows
+
+    x = np.zeros((2, 3, 64, 160), dtype=np.uint8)
+    # non-integer scale: no step-1 phase plan
+    assert pre_upscale_fused_rows(x, (96, 240), mesh24) is None
+    # rows not divisible by the mesh row axis
+    x2 = np.zeros((2, 3, 63, 160), dtype=np.uint8)
+    assert pre_upscale_fused_rows(x2, (126, 320), mesh24) is None
+    # column-sharded meshes decline (rows-only composition)
+    mesh2d = make_mesh(data=1, row=2, col=4)
+    assert pre_upscale_fused_rows(x, (128, 320), mesh2d) is None

@@ -88,7 +88,7 @@ res["fused_pipeline_max_lsb"] = int(np.abs(a.astype(int)
 # pallas-inside-shard_map tiled paths (Mosaic on real chip), 1-D and 2-D
 import jax
 if len(jax.devices()) >= 1:
-    from srcnn_cpp_tpu.parallel import make_mesh
+    from srcnn_cpp_tpu.parallel import make_mesh, pre_upscale_fused_rows
     from srcnn_cpp_tpu.parallel.tiling import srcnn_y_tiled
     mesh = make_mesh(data=1, row=1, col=1)
     yt = np.random.default_rng(2).integers(0, 256, (1, 64, 128),
@@ -96,6 +96,15 @@ if len(jax.devices()) >= 1:
     dt = np.abs(np.asarray(srcnn_y_tiled(yt, w, mesh, kernel="pallas"))
                 .astype(int) - np.asarray(srcnn_y(yt, w)).astype(int))
     res["pallas_tiled_max_lsb"] = int(dt.max())
+
+    # sharded fused pre-pass composition (ppermute + Pallas under
+    # shard_map): bit-identical to the engine on chip
+    xs = np.random.default_rng(6).integers(0, 256, (1, 3, 64, 160),
+                                           dtype=np.uint8)
+    ps = pre_upscale_fused_rows(xs, (128, 320), mesh)
+    pe = resize_bicubic_u8(bgr2ycrcb_u8_planar(xs), (128, 320))
+    res["fused_pre_rows_max_lsb"] = int(np.abs(
+        np.asarray(ps).astype(int) - np.asarray(pe).astype(int)).max())
 print("RESULT " + json.dumps(res))
 """
 
@@ -117,3 +126,4 @@ def test_tpu_golden_gates():
     assert res["fused_merge_ragged_max_lsb"] == 0    # bit-identical on chip
     assert res["fused_pipeline_max_lsb"] == 0        # bit-identical on chip
     assert res.get("pallas_tiled_max_lsb", 0) <= 1
+    assert res.get("fused_pre_rows_max_lsb", 0) == 0
