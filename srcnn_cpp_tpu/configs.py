@@ -77,6 +77,7 @@ def single_8k(weights: SRCNNWeights | None = None, mesh=None,
         from .ops.color import bgr2ycrcb_u8_planar, ycrcb2bgr_u8_planar
         from .ops.resize import resize_bicubic_u8
         from .parallel import pre_upscale_fused_rows, upscale_y_tiled
+        from .parallel.tiling import merge_ycrcb_to_bgr_fused_rows
 
         spec = NamedSharding(mesh, P(None, "row", None))
 
@@ -89,6 +90,11 @@ def single_8k(weights: SRCNNWeights | None = None, mesh=None,
                 up = resize_bicubic_u8(bgr2ycrcb_u8_planar(planar), out_hw)
             up = lax.with_sharding_constraint(up, spec)     # [3, oh, ow] u8
             y_sr = upscale_y_tiled(up[0], w, mesh, kernel)
+            if resize == "fused":
+                out = merge_ycrcb_to_bgr_fused_rows(
+                    y_sr[None], up[None], mesh)
+                if out is not None:
+                    return lax.with_sharding_constraint(out[0], spec)
             out = jnp.stack([y_sr, up[1], up[2]], axis=0)
             return lax.with_sharding_constraint(
                 ycrcb2bgr_u8_planar(out), spec)

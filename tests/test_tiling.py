@@ -207,3 +207,28 @@ def test_pre_upscale_fused_rows_declines(weights, mesh24):
     # column-sharded meshes decline (rows-only composition)
     mesh2d = make_mesh(data=1, row=2, col=4)
     assert pre_upscale_fused_rows(x, (128, 320), mesh2d) is None
+
+
+def test_merge_fused_rows_bit_equal(weights, mesh24):
+    # pointwise post-pass: per-device kernel == monolithic kernel exactly
+    from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
+    from srcnn_cpp_tpu.parallel.tiling import merge_ycrcb_to_bgr_fused_rows
+
+    rng = np.random.default_rng(11)
+    y_sr = rng.integers(0, 256, (2, 64, 192), dtype=np.uint8)
+    up = rng.integers(0, 256, (2, 3, 64, 192), dtype=np.uint8)
+    got = merge_ycrcb_to_bgr_fused_rows(y_sr, up, mesh24)
+    assert got is not None
+    ref = merge_ycrcb_to_bgr_fused(y_sr, up)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+    # ragged local rows (60/4 = 15) ride the kernel's masked blocks
+    got60 = merge_ycrcb_to_bgr_fused_rows(y_sr[:, :60], up[:, :, :60], mesh24)
+    assert got60 is not None
+    assert np.array_equal(
+        np.asarray(got60),
+        np.asarray(merge_ycrcb_to_bgr_fused(y_sr[:, :60], up[:, :, :60])))
+    # declines: rows not divisible by the mesh / tiny local blocks
+    assert merge_ycrcb_to_bgr_fused_rows(
+        y_sr[:, :62], up[:, :, :62], mesh24) is None
+    assert merge_ycrcb_to_bgr_fused_rows(
+        y_sr[:, :16], up[:, :, :16], mesh24) is None
