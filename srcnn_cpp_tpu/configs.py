@@ -134,14 +134,16 @@ def stream_4k30(weights: SRCNNWeights | None = None, scale: float = 2.0,
 
 
 def stream_4k30_distributed(mesh=None, weights: SRCNNWeights | None = None,
-                            scale: float = 2.0, depth: int = 2):
+                            scale: float = 2.0, depth: int = 2,
+                            variant: str = "exact"):
     """Runner: the multi-host frame stream (BASELINE config 5).
 
     Shards frames over the mesh's ``data`` axis and each frame's rows over
     ``row`` with ppermute halo exchange; every process pushes its local
     slab (parallel.DistributedStream.push_local).  Call
     ``parallel.initialize()`` once per process first on a real multi-host
-    deployment.
+    deployment.  ``variant="fused"`` runs each pipeline stage as one
+    Pallas kernel per device.
     """
     from .parallel.distributed import DistributedStream, frame_mesh
 
@@ -149,4 +151,5 @@ def stream_4k30_distributed(mesh=None, weights: SRCNNWeights | None = None,
         import jax
 
         mesh = frame_mesh(data=max(1, jax.process_count()))
-    return DistributedStream(scale, mesh, weights=weights, depth=depth)
+    return DistributedStream(scale, mesh, weights=weights, depth=depth,
+                             variant=variant)

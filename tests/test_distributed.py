@@ -230,3 +230,27 @@ def test_local_bounds_cover_sharding(weights):
     b = _local_bounds(spec, (4, 3, 32, 16), dims=(0, 2))
     assert b[0] == (0, 4)       # single process: owns everything
     assert b[2] == (0, 32)
+
+
+def test_single_process_stream_fused_variant(weights):
+    """variant="fused": every stage one Pallas kernel per device; output
+    matches the monolithic fused pipeline (same kernels, same order —
+    bit-exact modulo the CPU FMA boundary flips of the pre-pass)."""
+    from srcnn_cpp_tpu.parallel.distributed import frame_mesh, run_synthetic
+
+    mesh = frame_mesh(data=2)
+    r = run_synthetic(2, (48, 64), 2.0, mesh, weights=weights, depth=1,
+                      check=True, variant="fused")
+    assert r["frames"] == 4
+    assert r["max_abs_diff"] <= 1, r
+
+
+def test_two_process_stream_fused_variant():
+    """2 OS processes, fused variant: sharded Pallas pre/conv/post with
+    halos crossing the process boundary; each process checks its block
+    against the monolithic fused pipeline it computes itself."""
+    rows = _run_all(2, ["--frames=2", "--size=64x48", "--scale=2",
+                        "--variant=fused", "--check"])
+    for r in rows:
+        assert r["processes"] == 2
+        assert r["max_abs_diff"] <= 1, r
