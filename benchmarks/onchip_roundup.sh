@@ -2,18 +2,26 @@
 # Round-3 on-chip measurement roundup (KERNEL_NOTES "Round 3 runbook").
 # Run from /root/repo the moment the TPU relay answers; logs everything.
 # Order matters: correctness gates first, then the bench records, then
-# the attribution ablation (longest).
+# the attribution ablation (longest).  Later steps still run when a gate
+# fails (data beats automation during a short relay window) but the
+# failure is banner-logged and the script exits nonzero — do NOT flip
+# bench defaults (runbook step 4) unless step 1 passed.
 set -x
 LOG=${1:-/tmp/onchip_roundup_$(date +%H%M).log}
+FAIL=0
 {
   date
   echo "=== 1. Mosaic correctness gates (test_tpu.py) ==="
-  SRCNN_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu.py -q
+  SRCNN_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu.py -q \
+    || { FAIL=1; echo "!!! GATES FAILED — do not flip bench defaults !!!"; }
   echo "=== 2a. bench exact ==="
-  timeout 1800 python bench.py
+  timeout 1800 python bench.py || FAIL=1
   echo "=== 2b. bench fused ==="
-  BENCH_RESIZE=fused timeout 1800 python bench.py
+  BENCH_RESIZE=fused timeout 1800 python bench.py || FAIL=1
   echo "=== 3. pipe ablation (fused attribution) ==="
-  timeout 3600 python benchmarks/pipe_ablate.py
+  timeout 3600 python benchmarks/pipe_ablate.py || FAIL=1
   date
+  echo "roundup_exit=$FAIL"
+  exit $FAIL
 } 2>&1 | tee "$LOG"
+exit "${PIPESTATUS[0]}"

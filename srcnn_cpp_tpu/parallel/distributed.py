@@ -81,6 +81,11 @@ def frame_mesh(data: int | None = None, devices=None):
     return make_mesh(data=data, row=None, devices=devices)
 
 
+def _mono_oracle(variant: str) -> tuple[str, str]:
+    """(kernel, resize) of the monolithic pipeline matching ``variant``."""
+    return ("pallas", "fused") if variant == "fused" else ("xla", "exact")
+
+
 def _stream_step_fn(variant: str = "exact"):
     """Build the jitted full-pipeline step lazily (imports jax on call).
 
@@ -299,8 +304,7 @@ def run_synthetic(frames: int, size: tuple[int, int], scale: float, mesh,
         # the oracle is the MONOLITHIC pipeline of the same variant: the
         # exact path must match bitwise; the fused path's sharded kernels
         # are bit-identical to the monolithic kernels by construction
-        mono_args = (("pallas", "fused") if variant == "fused"
-                     else ("xla", "exact"))
+        mono_args = _mono_oracle(variant)
         for i, blk in enumerate(outs):
             full = global_frames(i)
             mono = np.asarray(_upscale_planar_jit(
@@ -415,8 +419,7 @@ def run_video(src: str, dst: str | None, scale: float, mesh,
 
     # check oracle: the monolithic pipeline of the same variant (see
     # run_synthetic)
-    mono_args = (("pallas", "fused") if variant == "fused"
-                 else ("xla", "exact"))
+    mono_args = _mono_oracle(variant)
 
     def emit(out_g):
         nonlocal writer
@@ -560,10 +563,12 @@ def main(argv=None) -> int:
     if args.variant == "fused":
         # the fused pre-pass's mul+add may FMA-contract differently between
         # the sharded and the monolithic-oracle PROGRAMS on XLA:CPU (see
-        # ops/pallas_resize.py) — on TPU both are bit-identical.  The
-        # binary's own gate therefore allows 1 LSB; hard bit-exactness for
-        # the fused stack is test_tpu.py's job.
-        return 0 if r.get("max_abs_diff", 99) <= 1 else 1
+        # ops/pallas_resize.py) — on TPU both are bit-identical.  A 1-LSB
+        # chroma flip amplifies through the inverse color transform
+        # (x1.4-1.8) and a Y flip through the conv stack, so the CPU gate
+        # allows 2 LSB; hard bit-exactness for the fused stack is
+        # test_tpu.py's job.
+        return 0 if r.get("max_abs_diff", 99) <= 2 else 1
     return 0 if r.get("bitexact") else 1
 
 

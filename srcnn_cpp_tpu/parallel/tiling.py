@@ -41,21 +41,7 @@ def _halo_exchange_rows(y, halo: int, axis_name: str = "row"):
     Interior seams get neighbor rows (ppermute); the global top/bottom get
     replicate rows, matching clamp-to-edge padding.
     """
-    n = lax.axis_size(axis_name)
-    if n == 1:
-        edge_t = jnp.repeat(y[..., :1, :], halo, axis=-2)
-        edge_b = jnp.repeat(y[..., -1:, :], halo, axis=-2)
-        return jnp.concatenate([edge_t, y, edge_b], axis=-2)
-    idx = lax.axis_index(axis_name)
-    down = [(i, i + 1) for i in range(n - 1)]   # i's bottom rows -> i+1's top
-    up = [(i + 1, i) for i in range(n - 1)]     # i's top rows -> i-1's bottom
-    recv_top = lax.ppermute(y[..., -halo:, :], axis_name, down)
-    recv_bot = lax.ppermute(y[..., :halo, :], axis_name, up)
-    edge_t = jnp.repeat(y[..., :1, :], halo, axis=-2)
-    edge_b = jnp.repeat(y[..., -1:, :], halo, axis=-2)
-    top = jnp.where(idx == 0, edge_t, recv_top)
-    bot = jnp.where(idx == n - 1, edge_b, recv_bot)
-    return jnp.concatenate([top, y, bot], axis=-2)
+    return _halo_exchange_rows_asym(y, halo, halo, axis_name)
 
 
 def _clamp_feature_edges(f2, axis: int, axis_name: str):
@@ -358,12 +344,12 @@ def upscale_y_tiled(y_u8, weights, mesh: Mesh, kernel: str = "xla"):
 def _halo_exchange_rows_asym(y, top: int, bot: int, axis_name: str = "row"):
     """Asymmetric row halo: ``top`` rows from above, ``bot`` from below.
 
-    Same semantics as :func:`_halo_exchange_rows` (neighbor rows at
-    interior seams via ppermute, replicate rows at true edges) but with
-    independent per-side counts — the bicubic pre-pass needs ``top=1`` /
-    ``bot=2``-shaped halos (tap window asymmetry), not the conv stack's
-    symmetric 6.
+    Neighbor rows at interior seams via ppermute, replicate rows at true
+    edges.  Independent per-side counts because the bicubic pre-pass needs
+    ``top=1`` / ``bot=2``-shaped halos (tap window asymmetry);
+    :func:`_halo_exchange_rows` is the symmetric special case.
     """
+    assert top >= 1 and bot >= 1, (top, bot)   # -top: would misslice at 0
     n = lax.axis_size(axis_name)
     edge_t = jnp.repeat(y[..., :1, :], top, axis=-2)
     edge_b = jnp.repeat(y[..., -1:, :], bot, axis=-2)
@@ -443,8 +429,8 @@ def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
         return None
     max_vb = max(v for row in statics[4] for v in row)
     bot = max_vb - top
-    if max(top, bot) > ih // nrow:       # halo exceeds one neighbor block
-        return None
+    if top < 1 or bot < 1 or max(top, bot) > ih // nrow:
+        return None        # degenerate tap window / halo exceeds a block
     sharding = NamedSharding(mesh, P(batch_axis, None, "row", None))
     # traced callers (a jitted config step) use a constraint; eager callers
     # place the array directly

@@ -97,8 +97,11 @@ if len(jax.devices()) >= 1:
                 .astype(int) - np.asarray(srcnn_y(yt, w)).astype(int))
     res["pallas_tiled_max_lsb"] = int(dt.max())
 
-    # sharded fused pre-pass composition (ppermute + Pallas under
-    # shard_map): bit-identical to the engine on chip
+    # sharded fused pre-pass: validates the MOSAIC LOWERING of the
+    # kernel-under-shard_map composition on a 1-device mesh (no ppermute
+    # fires with row=1 — multi-device halo/phase logic is covered by the
+    # 8-virtual-device CPU tests in test_tiling.py; one real chip cannot
+    # exercise a multi-row mesh)
     xs = np.random.default_rng(6).integers(0, 256, (1, 3, 64, 160),
                                            dtype=np.uint8)
     ps = pre_upscale_fused_rows(xs, (128, 320), mesh)
