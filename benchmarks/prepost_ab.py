@@ -1,0 +1,110 @@
+"""On-chip tile sweep for the fused pre/post Pallas passes.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/prepost_ab.py pre
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/prepost_ab.py post
+
+Sweeps the (tih, tiw) / (th, tw) tile policies of
+``ops/pallas_resize._apply_fused_pre`` and
+``ops/pallas_merge.merge_ycrcb_to_bgr_fused`` at the bench geometry
+(batch-32 960x540 -> x2).  Methodology matches kernel_ab.py: interleaved
+best-of-N in one process, completion fenced with a tiny host fetch,
+compile failures tolerated per variant, every variant bit-checked against
+the XLA engine before timing.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar, ycrcb2bgr_u8_planar
+from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
+from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+from srcnn_cpp_tpu.runtime import enable_compilation_cache
+from srcnn_cpp_tpu.weights import load_weights  # noqa: F401  (cache warmup)
+
+BATCH = 32
+H, W = 540, 960
+OH, OW = 2 * H, 2 * W
+
+
+def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("pre", "post"):
+        print(__doc__)
+        return
+    exp = sys.argv[1]
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (BATCH, 3, H, W), dtype=np.uint8))
+    mp = BATCH * OH * OW / 1e6
+
+    if exp == "pre":
+        ref = np.asarray(resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (OH, OW)))
+        tiles = [None, (8, 256), (16, 256), (32, 128), (32, 256), (32, 512),
+                 (64, 256), (32, 1024), (16, 1920)]
+
+        def make(tile):
+            return jax.jit(lambda v: pre_upscale_fused(v, (OH, OW))
+                           if tile is None
+                           else _pre_tile(v, tile))
+
+        def _pre_tile(v, tile):
+            from srcnn_cpp_tpu.ops.pallas_resize import (_apply_fused_pre,
+                                                         _pre_statics)
+
+            st = _pre_statics(OH, H, OW, W)
+            return _apply_fused_pre(v, OH, OW, st, tile=tile)
+    else:
+        up = jnp.asarray(rng.integers(0, 256, (BATCH, 3, OH, OW),
+                                      dtype=np.uint8))
+        y_sr = jnp.asarray(rng.integers(0, 256, (BATCH, OH, OW),
+                                        dtype=np.uint8))
+        ref = np.asarray(ycrcb2bgr_u8_planar(jnp.stack(
+            [y_sr, up[:, 1], up[:, 2]], axis=-3)))
+        tiles = [None, (8, 1920), (16, 1920), (32, 1920), (64, 1920),
+                 (128, 1920), (16, 640), (64, 640), (8, 128)]
+
+        def make(tile):
+            return jax.jit(lambda v: merge_ycrcb_to_bgr_fused(
+                y_sr, v, tile=tile))
+        x = up  # the timed argument
+
+    fns, first = {}, {}
+    for tile in tiles:
+        name = "policy" if tile is None else f"{tile[0]}x{tile[1]}"
+        fn = make(tile)
+        try:
+            out = fn(x)
+            got = np.asarray(out)
+        except Exception as e:   # VMEM spill / compile failure: skip
+            print(f"compile FAILED {name}: {type(e).__name__}", flush=True)
+            continue
+        d = int(np.abs(got.astype(int) - ref.astype(int)).max())
+        print(f"compiled {name}: max LSB vs engine {d}", flush=True)
+        fns[name] = fn
+        first[name] = d
+
+    best = {n: float("inf") for n in fns}
+    for _ in range(5):
+        for name, fn in fns.items():
+            t0 = time.monotonic()
+            out = None
+            for _ in range(4):
+                out = fn(x)
+            np.asarray(out[0, 0, :2, :2])
+            best[name] = min(best[name], (time.monotonic() - t0) / 4)
+
+    print(f"\n[{exp}] batch {BATCH} {W}x{H} -> {OW}x{OH}, {mp:.1f} MP")
+    print(f"{'variant':>12}  {'ms':>8}  {'MP/s':>8}  {'lsb':>4}")
+    for name in fns:
+        print(f"{name:>12}  {best[name] * 1e3:8.2f}  {mp / best[name]:8.1f}"
+              f"  {first[name]:4d}")
+
+
+if __name__ == "__main__":
+    main()

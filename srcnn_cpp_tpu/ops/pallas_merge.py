@@ -67,19 +67,23 @@ def _merge_call(y_sr, up, th, tw):
     )(y_sr, up)
 
 
-def merge_ycrcb_to_bgr_fused(y_sr, up):
+def merge_ycrcb_to_bgr_fused(y_sr, up, tile: tuple[int, int] | None = None):
     """``Y' [B, oh, ow]`` + upscaled YCrCb ``[B, 3, oh, ow]`` -> BGR u8.
 
     Bit-identical to ``ycrcb2bgr_u8_planar(stack([y_sr, up[:,1], up[:,2]]))``
     on every backend.  Tile shapes are (8, 128)-aligned; ragged edges ride
     Pallas's masked boundary blocks, so every geometry is covered.  Returns
     None only for planes too small to be worth a kernel launch; the caller
-    falls back to the XLA path.
+    falls back to the XLA path.  ``tile`` overrides the (th, tw) policy
+    for on-chip sweeps (benchmarks/prepost_ab.py).
     """
     nb, oh, ow = y_sr.shape
     if oh < 8 or ow < 128:
         return None
-    tw = min(1920, -(-ow // 128) * 128)
-    # bound tile area so the ~6 live f32 intermediates stay ~3 MB of VMEM
-    th = min(max(8, (128 * 1024) // tw // 8 * 8), -(-oh // 8) * 8)
+    if tile is not None:
+        th, tw = tile
+    else:
+        tw = min(1920, -(-ow // 128) * 128)
+        # bound tile area: ~6 live f32 intermediates stay ~3 MB of VMEM
+        th = min(max(8, (128 * 1024) // tw // 8 * 8), -(-oh // 8) * 8)
     return _merge_call(y_sr, up, th, tw)

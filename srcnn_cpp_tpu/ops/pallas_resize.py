@@ -159,7 +159,8 @@ def _pre_statics(oh: int, ih: int, ow: int, iw: int):
     return pv, top, ph, left, vb, vc, hb, hc
 
 
-def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0):
+def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
+                     tile: tuple[int, int] | None = None):
     """Run the kernel over ``x [B, 3, rows, W]`` -> YCrCb ``[B, 3, oh, ow]``.
 
     ``rows_above`` rows of REAL vertical context sit above the first owned
@@ -175,9 +176,13 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0):
     pv, top, ph, left, vb, vc, hb, hc = statics
     rows, iw = x.shape[-2:]
     # tile size: tih rows / tiw lanes PER PHASE (output tile pv*tih x
-    # ph*tiw); shrink for short/narrow planes
-    tih = max(8, min(32, (oh // pv) // 8 * 8))
-    tiw = max(128, min(256, (ow // ph) // 128 * 128))
+    # ph*tiw); shrink for short/narrow planes.  ``tile`` overrides for
+    # on-chip sweeps (benchmarks/prepost_ab.py).
+    if tile is not None:
+        tih, tiw = tile
+    else:
+        tih = max(8, min(32, (oh // pv) // 8 * 8))
+        tiw = max(128, min(256, (ow // ph) // 128 * 128))
     gh = -(-oh // (pv * tih))
     gw = -(-ow // (ph * tiw))
     max_vb = max(v for row in vb for v in row)
