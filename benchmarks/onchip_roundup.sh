@@ -20,6 +20,9 @@ FAIL=0
   BENCH_RESIZE=fused timeout 1800 python bench.py || FAIL=1
   echo "=== 3. pipe ablation (fused attribution) ==="
   timeout 3600 python benchmarks/pipe_ablate.py || FAIL=1
+  echo "=== 4. pre/post tile sweeps (optional tuning) ==="
+  timeout 1800 python benchmarks/prepost_ab.py pre || true
+  timeout 1800 python benchmarks/prepost_ab.py post || true
   date
   echo "roundup_exit=$FAIL"
   exit $FAIL
