@@ -9,9 +9,12 @@ within 0.05 dB of the reference binary").
 Set5/Set14 proper cannot be vendored in this environment (no network
 egress and the datasets are not on disk); the suite is every real
 photographic image available locally — including ``butterfly``, which IS a
-Set5 member (the reference's own demo image, README.md:34-45) — and the
-gate compares against the reference binary per image, which is stricter
-than a dataset-level PSNR average.
+Set5 member (the reference's own demo image, README.md:34-45), plus the
+two photographs bundled with scikit-learn (china/flower) — and the gate
+compares against the reference binary per image, which is stricter than a
+dataset-level PSNR average.  SSIM (Wang 2004, 11x11 sigma=1.5 Gaussian,
+valid boundary — the Set5/Set14 reporting standard) is recorded per cell
+alongside PSNR.
 
 Usage:
     # build the reference binary first (needs OpenCV4 + OpenMP):
@@ -42,7 +45,7 @@ def run_one(name, gt_bgr, scale, weights, kernel, ref_bin, tmp):
     from srcnn_cpp_tpu.imageio import imread_bgr, imwrite_bgr
     from srcnn_cpp_tpu.oracle import bgr2ycrcb_u8_ref
     from srcnn_cpp_tpu.pipeline import upscale_bgr
-    from srcnn_cpp_tpu.utils.metrics import psnr
+    from srcnn_cpp_tpu.utils.metrics import psnr, ssim
 
     lr_bgr, gt = degrade_bgr(gt_bgr, scale)
     ch, cw = gt.shape[:2]
@@ -78,12 +81,71 @@ def run_one(name, gt_bgr, scale, weights, kernel, ref_bin, tmp):
     sl = np.s_[s:-s, s:-s]
     p_ours = psnr(gt_y[sl], our_y[sl])
     p_ref = psnr(gt_y[sl], ref_y[sl])
+    s_ours = ssim(gt_y[sl], our_y[sl])
+    s_ref = ssim(gt_y[sl], ref_y[sl])
     return {
         "image": name, "scale": scale, "hw": [n, m],
         "psnr_ours": round(p_ours, 4), "psnr_ref": round(p_ref, 4),
-        "delta_psnr": round(p_ours - p_ref, 4), "max_lsb_vs_ref": lsb,
+        "delta_psnr": round(p_ours - p_ref, 4),
+        "ssim_ours": round(s_ours, 5), "ssim_ref": round(s_ref, 5),
+        "delta_ssim": round(s_ours - s_ref, 5), "max_lsb_vs_ref": lsb,
         "seconds": round(dt, 3),
     }
+
+
+def render_md(rows, kernel, device_kind, out_path) -> None:
+    """Write EVAL.md (preserving hand-written sections past the marker)."""
+    from srcnn_cpp_tpu.imageio import decode_provenance
+
+    worst_d = max(abs(r["delta_psnr"]) for r in rows)
+    worst_s = max(abs(r["delta_ssim"]) for r in rows)
+    worst_lsb = max(r["max_lsb_vs_ref"] for r in rows)
+    ok = worst_d < 0.05
+    lines = [
+        "# EVAL — accuracy gate vs the reference binary",
+        "",
+        "Protocol: Resize.m (MATLAB-imresize bicubic degradation), PSNR",
+        "on the Y channel with ceil(scale)-px border shave; the reference",
+        "binary was built from /root/reference on this host; framework",
+        f"ran kernel={kernel} on [{device_kind}].",
+        "",
+        f"Decode provenance: every number below was minted with "
+        f"**{' '.join(str(v) for v in decode_provenance().values())}**",
+        "decode (`imageio.decode_provenance`); JPEG decode differs between",
+        "cv2/libjpeg-turbo builds and PIL, shifting PSNR in the 3rd decimal.",
+        "`evaluate` warns when run under a different decoder, and",
+        "tests/test_eval_stream.py asserts the environment still matches.",
+        "",
+        "Set5/Set14 proper are not obtainable here (no network egress);",
+        "the suite is every local real photograph (incl. the two",
+        "sklearn-bundled sample photos, china/flower) — `butterfly` is a",
+        "true Set5 member — and the gate diffs against the reference",
+        "binary per image (stricter than a suite-mean PSNR). SSIM is the",
+        "Set5/Set14 reporting standard (Wang 2004, 11x11 σ=1.5, valid).",
+        "",
+        "| image | scale | PSNR (ours, dB) | PSNR (ref bin, dB)"
+        " | ΔPSNR | SSIM (ours) | ΔSSIM | max LSB diff |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['image']} | x{r['scale']:g} | {r['psnr_ours']:.4f} "
+            f"| {r['psnr_ref']:.4f} | {r['delta_psnr']:+.4f} "
+            f"| {r['ssim_ours']:.5f} | {r['delta_ssim']:+.5f} "
+            f"| {r['max_lsb_vs_ref']} |")
+    lines += ["",
+              f"**Gate:** max |ΔPSNR| = {worst_d:.4f} dB (< 0.05 "
+              f"required), max |ΔSSIM| = {worst_s:.5f}, "
+              f"max LSB diff = {worst_lsb} -> "
+              f"**{'PASS' if ok else 'FAIL'}**", ""]
+    # preserve any hand-written sections after the end marker (e.g. the
+    # evaluate.py protocol table and the fine-tuning demonstration)
+    marker = "<!-- eval_suite:end -->"
+    out_path = Path(out_path)
+    tail = ""
+    if out_path.exists() and marker in (prev := out_path.read_text()):
+        tail = prev[prev.index(marker):]
+    out_path.write_text("\n".join(lines) + (("\n" + tail) if tail else ""))
 
 
 def main(argv=None) -> int:
@@ -99,7 +161,21 @@ def main(argv=None) -> int:
                     help="comma-separated stem filter (smoke tests)")
     ap.add_argument("--scales", default=None,
                     help="comma-separated scale filter")
+    ap.add_argument("--render-from", default=None,
+                    help="skip the runs; render --out from this prior "
+                         "--json record (device annotated from the JSON)")
     args = ap.parse_args(argv)
+
+    if args.render_from:
+        rec = json.loads(Path(args.render_from).read_text())
+        if not args.out:
+            print("--render-from requires --out", file=sys.stderr)
+            return 2
+        render_md(rec["rows"], rec["kernel"],
+                  rec.get("device_kind", "unknown"), args.out)
+        print(f"rendered {args.out} from {args.render_from} "
+              f"({len(rec['rows'])} cells)")
+        return 0 if rec["pass"] else 1
 
     if args.platform:
         import jax
@@ -132,55 +208,27 @@ def main(argv=None) -> int:
                 rows.append(r)
                 print(f"{r['image']:16s} x{r['scale']:<4g} "
                       f"ours {r['psnr_ours']:6.2f} dB  ref {r['psnr_ref']:6.2f} dB  "
-                      f"d={r['delta_psnr']:+.4f}  lsb={r['max_lsb_vs_ref']}",
+                      f"d={r['delta_psnr']:+.4f}  ssim {r['ssim_ours']:.4f} "
+                      f"(d={r['delta_ssim']:+.5f})  lsb={r['max_lsb_vs_ref']}",
                       flush=True)
 
     worst_d = max(abs(r["delta_psnr"]) for r in rows)
+    worst_s = max(abs(r["delta_ssim"]) for r in rows)
     worst_lsb = max(r["max_lsb_vs_ref"] for r in rows)
     ok = worst_d < 0.05
     print(f"\ngate: max |dPSNR| = {worst_d:.4f} dB (< 0.05 required) "
-          f"max LSB = {worst_lsb}  ->  {'PASS' if ok else 'FAIL'}")
+          f"max |dSSIM| = {worst_s:.5f}  max LSB = {worst_lsb}  ->  "
+          f"{'PASS' if ok else 'FAIL'}")
+    import jax
+
+    device_kind = jax.devices()[0].device_kind
     if args.json_out:
         Path(args.json_out).write_text(json.dumps(
             {"rows": rows, "max_abs_delta_psnr": worst_d,
-             "max_lsb": worst_lsb, "kernel": args.kernel, "pass": ok}))
+             "max_abs_delta_ssim": worst_s, "max_lsb": worst_lsb,
+             "kernel": args.kernel, "device_kind": device_kind, "pass": ok}))
     if args.out:
-        import jax
-
-        lines = [
-            "# EVAL — accuracy gate vs the reference binary",
-            "",
-            "Protocol: Resize.m (MATLAB-imresize bicubic degradation), PSNR",
-            "on the Y channel with ceil(scale)-px border shave; the reference",
-            f"binary was built from /root/reference on this host; framework",
-            f"ran kernel={args.kernel} on [{jax.devices()[0].device_kind}].",
-            "",
-            "Set5/Set14 proper are not obtainable here (no network egress);",
-            "the suite is every local real photograph — `butterfly` is a",
-            "true Set5 member — and the gate diffs against the reference",
-            "binary per image (stricter than a suite-mean PSNR).",
-            "",
-            "| image | scale | SRCNN PSNR (ours, dB) | SRCNN PSNR (ref bin, dB)"
-            " | ΔPSNR | max LSB diff |",
-            "|---|---|---|---|---|---|",
-        ]
-        for r in rows:
-            lines.append(
-                f"| {r['image']} | x{r['scale']:g} | {r['psnr_ours']:.4f} "
-                f"| {r['psnr_ref']:.4f} | {r['delta_psnr']:+.4f} "
-                f"| {r['max_lsb_vs_ref']} |")
-        lines += ["",
-                  f"**Gate:** max |ΔPSNR| = {worst_d:.4f} dB (< 0.05 "
-                  f"required), max LSB diff = {worst_lsb} -> "
-                  f"**{'PASS' if ok else 'FAIL'}**", ""]
-        # preserve any hand-written sections after the end marker (e.g. the
-        # evaluate.py protocol table and the fine-tuning demonstration)
-        marker = "<!-- eval_suite:end -->"
-        out_path = Path(args.out)
-        tail = ""
-        if out_path.exists() and marker in (prev := out_path.read_text()):
-            tail = prev[prev.index(marker):]
-        out_path.write_text("\n".join(lines) + (("\n" + tail) if tail else ""))
+        render_md(rows, args.kernel, device_kind, args.out)
     return 0 if ok else 1
 
 
