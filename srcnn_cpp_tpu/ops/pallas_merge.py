@@ -46,7 +46,9 @@ def _kernel(y_ref, up_ref, out_ref):
     g = y + _descale_f32(cb * _CB2G + cr * _CR2G)
     r = y + _descale_f32(cr * _CR2R)
     out = jnp.clip(jnp.stack([b, g, r], axis=0), 0.0, 255.0)
-    out_ref[0] = out.astype(jnp.uint8)
+    # Mosaic has no direct f32->u8 cast; truncate via i32 (identical to
+    # the XLA engine's f32->u8 truncation for clipped non-negative values)
+    out_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw"))

@@ -58,9 +58,16 @@ from .resize import _hphase_plan, _vphase_plan
 __all__ = ["pre_upscale_fused"]
 
 
-def _kernel(bgr_ref, out_ref, slab, dma_sem, *, tih: int, tiw: int,
+def _kernel(bgr_ref, *refs, tih: int, tiw: int,
             svp: int, swp: int, pv: int, ph: int, vb, vc, hb, hc):
-    """One (3, pv*tih, ph*tiw) output tile from a (3, svp, swp) BGR slab."""
+    """``ph`` (3, pv*tih, tiw) phase tiles from a (3, svp, swp) BGR slab.
+
+    Output phase ``p`` holds output columns ``p, p+ph, p+2*ph, ...`` — the
+    caller lane-interleaves the phase planes (a Mosaic ``tpu.reshape`` of
+    an interleave into the lane axis is unsupported, so the interleave
+    happens outside the kernel; it is a bandwidth-trivial u8 relayout).
+    """
+    out_refs, (slab, dma_sem) = refs[:ph], refs[ph:]
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     copy = pltpu.make_async_copy(
         bgr_ref.at[b, :, pl.ds(i * tih, svp), pl.ds(j * tiw, swp)],
@@ -79,7 +86,6 @@ def _kernel(bgr_ref, out_ref, slab, dma_sem, *, tih: int, tiw: int,
     ycc = jnp.clip(jnp.stack([y, cr, cb], axis=0), 0.0, 255.0)
 
     th = pv * tih
-    cols = []
     for p in range(ph):
         # horizontal phase p: 4 contiguous lane slices x int coefficients
         # (exact integer sums in f32, ops/resize.py hplan branch)
@@ -97,10 +103,10 @@ def _kernel(bgr_ref, out_ref, slab, dma_sem, *, tih: int, tiw: int,
             phases.append(jnp.clip(jnp.round(r2), 0.0, 255.0))
         col = phases[0] if pv == 1 else jnp.stack(
             phases, axis=2).reshape(3, th, tiw)   # rows interleaved
-        cols.append(col)
-    out = cols[0] if ph == 1 else jnp.stack(
-        cols, axis=3).reshape(3, th, ph * tiw)    # lanes interleaved
-    out_ref[0] = out.astype(jnp.uint8)
+        # Mosaic has no direct f32->u8 cast; truncate via i32 (col is a
+        # clipped non-negative integer-valued f32, so the value is
+        # unchanged)
+        out_refs[p][0] = col.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(
@@ -112,21 +118,27 @@ def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
     body = functools.partial(
         _kernel, tih=tih, tiw=tiw, svp=svp, swp=swp, pv=pv, ph=ph,
         vb=vb, vc=vc, hb=hb, hc=hc)
-    return pl.pallas_call(
+    phase_planes = pl.pallas_call(
         body,
         grid=(nb, gh, gw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, 3, pv * tih, ph * tiw), lambda b, i, j: (b, 0, i, j),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (nb, 3, gh * pv * tih, gw * ph * tiw), jnp.uint8),
+        out_specs=[pl.BlockSpec(
+            (1, 3, pv * tih, tiw), lambda b, i, j: (b, 0, i, j),
+            memory_space=pltpu.VMEM)] * ph,
+        out_shape=[jax.ShapeDtypeStruct(
+            (nb, 3, gh * pv * tih, gw * tiw), jnp.uint8)] * ph,
         scratch_shapes=[
             pltpu.VMEM((3, svp, swp), ypad.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=jax.default_backend() == "cpu",
     )(ypad)
+    if ph == 1:
+        return phase_planes[0]
+    # lane-interleave the phase planes (phase p owns output cols p::ph)
+    oh_pad, ow_col = gh * pv * tih, gw * tiw
+    return jnp.stack(phase_planes, axis=-1).reshape(
+        nb, 3, oh_pad, ow_col * ph)
 
 
 def _plan_static(plan_bases, plan_coefs):
