@@ -36,12 +36,13 @@ ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 KERNEL = os.environ.get("BENCH_KERNEL", "pallas")  # ops/pallas_srcnn.py
 if KERNEL not in ("pallas", "xla", "xla_split"):    # typo -> silent exact/xla
     raise SystemExit(f"bench: unknown BENCH_KERNEL={KERNEL!r}")
-# the accuracy-gated configuration: the exact engine's horizontal pass is
-# now an exact banded matmul (ops/resize.py), putting it within ~12% of the
-# non-bit-exact "fast" engine (4.4 vs 5.0 GP/s at 4K) — so the headline
-# number IS the bit-exact path.  "fused" = the single-pass Pallas color+
-# resize pre-pass (ops/pallas_resize.py), bit-identical on chip.
-RESIZE = os.environ.get("BENCH_RESIZE", "exact")
+# the accuracy-gated configuration: "fused" = the single-pass Pallas
+# color+resize pre-pass and merge post-pass (ops/pallas_resize.py,
+# ops/pallas_merge.py), verified BIT-IDENTICAL to the exact engines on
+# the real chip (tests/test_tpu.py gates, 2026-08-19) and measured
+# faster there (1529 vs 1333 MP/s) — so the headline number is still a
+# bit-exact path.  "exact" = the XLA banded-matmul engines.
+RESIZE = os.environ.get("BENCH_RESIZE", "fused")
 if RESIZE not in ("exact", "fast", "fused"):
     raise SystemExit(f"bench: unknown BENCH_RESIZE={RESIZE!r}")
 
@@ -115,21 +116,34 @@ def _run_with_retries() -> int:
     import subprocess
     import sys
 
+    # retry only plausibly-transient failures (relay outage, timeout); a
+    # deterministic compile error fails the same way every attempt — burn
+    # no backoff on it (round 3 lost 6 min retrying a Mosaic
+    # NotImplementedError before this guard existed)
+    _DETERMINISTIC = (b"NotImplementedError", b"Mosaic failed to compile",
+                      b"Unsupported cast", b"unsupported shape cast")
+
     delays = (60, 180)  # backoff before attempts 2 and 3
     for attempt in range(len(delays) + 1):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner"],
-                stdout=subprocess.PIPE, timeout=850)
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=850)
         except subprocess.TimeoutExpired:
             print(f"bench: attempt {attempt + 1} timed out", file=sys.stderr)
         else:
+            sys.stderr.buffer.write(proc.stderr)
+            sys.stderr.flush()
             if proc.returncode == 0 and proc.stdout.strip():
                 sys.stdout.buffer.write(proc.stdout)
                 sys.stdout.flush()
                 return 0
             print(f"bench: attempt {attempt + 1} exited rc={proc.returncode}",
                   file=sys.stderr)
+            if any(sig in proc.stderr for sig in _DETERMINISTIC):
+                print("bench: deterministic compile error — not retrying",
+                      file=sys.stderr)
+                return 1
         if attempt < len(delays):
             print(f"bench: retrying in {delays[attempt]}s", file=sys.stderr)
             time.sleep(delays[attempt])

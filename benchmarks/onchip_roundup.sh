@@ -7,6 +7,10 @@
 # failure is banner-logged and the script exits nonzero — do NOT flip
 # bench defaults (runbook step 4) unless step 1 passed.
 set -x
+cd "$(dirname "$0")/.."
+# benchmark scripts import srcnn_cpp_tpu from the repo root; keep the axon
+# site dir too (it loads the TPU plugin)
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 LOG=${1:-/tmp/onchip_roundup_$(date +%H%M).log}
 FAIL=0
 {
