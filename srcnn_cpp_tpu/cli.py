@@ -61,14 +61,14 @@ def print_help(file=sys.stdout) -> None:
     print("  --noverbose        run silently", file=file)
     print("  --kernel=<name>    conv backend: pallas (default), xla, xla_split",
           file=file)
-    print("  --resize=<mode>    pre/post passes: exact (default), fast, or "
-          "fused (Pallas)", file=file)
+    print("  --resize=<mode>    pre/post passes: auto (default: fused on "
+          "TPU, exact elsewhere), exact, fast, fused", file=file)
     print("  --repeat=<int>     time the compute span over N runs", file=file)
     print("  --help             this message", file=file)
 
 
 KERNELS = ("pallas", "xla", "xla_split")
-RESIZE_MODES = ("exact", "fast", "fused")
+RESIZE_MODES = ("auto", "exact", "fast", "fused")
 
 
 class UsageError(ValueError):
@@ -87,7 +87,7 @@ def parse_args(argv: list[str]):
         "scale": 2.0,
         "verbose": True,
         "kernel": "pallas",
-        "resize": "exact",
+        "resize": "auto",
         "repeat": 1,
         "src": None,
         "dst": None,

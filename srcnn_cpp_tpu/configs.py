@@ -21,7 +21,7 @@ from .weights import SRCNNWeights, load_weights
 
 
 def batch_1080p_to_4k(weights: SRCNNWeights | None = None, batch: int = 32,
-                      kernel: str = "pallas", resize: str = "exact"):
+                      kernel: str = "pallas", resize: str = "auto"):
     """Runner: BGR uint8 [B,H,W,3] -> x2, bit-exact path (the exact
     resize engine now matches the fast one to ~12%, so the production
     default is the accuracy-gated configuration).
@@ -51,7 +51,7 @@ def batch_1080p_to_4k(weights: SRCNNWeights | None = None, batch: int = 32,
 
 def single_8k(weights: SRCNNWeights | None = None, mesh=None,
               scale: float = 2.0, kernel: str = "xla",
-              resize: str = "exact"):
+              resize: str = "auto"):
     """Runner: one huge frame; rows tile over the mesh when given.
 
     On the mesh path EVERY stage is sharded: the whole pipeline is one
@@ -64,6 +64,9 @@ def single_8k(weights: SRCNNWeights | None = None, mesh=None,
     parallel/tiling.pre_upscale_fused_rows) with the GSPMD engine as the
     automatic fallback for geometries it declines.
     """
+    from .pipeline import resolve_resize
+
+    resize = resolve_resize(resize)
     weights = weights if weights is not None else load_weights()
     step = spec = None
     if mesh is not None:
@@ -125,7 +128,7 @@ def single_8k(weights: SRCNNWeights | None = None, mesh=None,
 
 def stream_4k30(weights: SRCNNWeights | None = None, scale: float = 2.0,
                 depth: int = 3, kernel: str = "pallas",
-                resize: str = "exact"):
+                resize: str = "auto"):
     """Runner: the pipelined video upscaler (push/drain protocol)."""
     from .stream import StreamUpscaler
 

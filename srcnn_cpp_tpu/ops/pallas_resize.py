@@ -69,12 +69,38 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
     """
     out_refs, (slab, dma_sem) = refs[:ph], refs[ph:]
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    copy = pltpu.make_async_copy(
+    gh, gw = pl.num_programs(1), pl.num_programs(2)
+    # double-buffered slab DMA: tile t+1's slab streams in while tile t
+    # computes (TPU grids run sequentially per core; scratch persists
+    # across steps, so the copy started last step is ready to wait on).
+    # Without this the kernel serializes DMA-then-compute per tile and
+    # gains nothing over the XLA engine chain (round-3 on-chip ablation:
+    # fused-pre gain 0.37 ms vs the ~8 ms the bandwidth math predicts).
+    t = (b * gh + i) * gw + j
+    total = pl.num_programs(0) * gh * gw
+    par = jax.lax.rem(t, 2)
+
+    def _start(tn, slot):
+        jn = jax.lax.rem(tn, gw)
+        rest = jax.lax.div(tn, gw)
+        in_ = jax.lax.rem(rest, gh)
+        bn = jax.lax.div(rest, gh)
+        pltpu.make_async_copy(
+            bgr_ref.at[bn, :, pl.ds(in_ * tih, svp), pl.ds(jn * tiw, swp)],
+            slab.at[slot], dma_sem.at[slot]).start()
+
+    @pl.when(t == 0)
+    def _():
+        _start(t, 0)
+
+    @pl.when(t + 1 < total)
+    def _():
+        _start(t + 1, jax.lax.rem(t + 1, 2))
+
+    pltpu.make_async_copy(
         bgr_ref.at[b, :, pl.ds(i * tih, svp), pl.ds(j * tiw, swp)],
-        slab, dma_sem)
-    copy.start()
-    copy.wait()
-    x = slab[...].astype(jnp.int32).astype(jnp.float32)
+        slab.at[par], dma_sem.at[par]).wait()
+    x = slab[par].astype(jnp.int32).astype(jnp.float32)
 
     # fixed-point color conversion, exact in f32 (ops/color.py semantics)
     bl, gr, rd = x[0], x[1], x[2]
@@ -128,8 +154,8 @@ def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
         out_shape=[jax.ShapeDtypeStruct(
             (nb, 3, gh * pv * tih, gw * tiw), jnp.uint8)] * ph,
         scratch_shapes=[
-            pltpu.VMEM((3, svp, swp), ypad.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 3, svp, swp), ypad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() == "cpu",
     )(ypad)
@@ -193,8 +219,12 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
     if tile is not None:
         tih, tiw = tile
     else:
+        # round-3 on-chip sweep (benchmarks/prepost_ab.py, KERNEL_NOTES
+        # 3e): wide tiles win — 32x1024 13.27 ms vs 32x256 14.04 ms at
+        # the bench geometry (the kernel is VPU-bound; wider tiles cut
+        # per-tile slab-halo and loop overhead)
         tih = max(8, min(32, (oh // pv) // 8 * 8))
-        tiw = max(128, min(256, (ow // ph) // 128 * 128))
+        tiw = max(128, min(1024, (ow // ph) // 128 * 128))
     gh = -(-oh // (pv * tih))
     gw = -(-ow // (ph * tiw))
     max_vb = max(v for row in vb for v in row)

@@ -35,6 +35,20 @@ from .ops.srcnn import srcnn_y
 from .weights import SRCNNWeights, load_weights
 
 
+def resolve_resize(mode: str) -> str:
+    """Resolve the ``"auto"`` resize mode to a concrete engine.
+
+    ``auto`` -> ``fused`` on the TPU backend (the single-pass Pallas
+    pre/post kernels are gate-verified BIT-identical to the exact engines
+    on chip and measured faster there, KERNEL_NOTES round 3e) and
+    ``exact`` everywhere else (on CPU the fused kernels only run in slow
+    interpret mode and XLA:CPU's FMA contraction voids bit-identity).
+    """
+    if mode == "auto":
+        return "fused" if jax.default_backend() == "tpu" else "exact"
+    return mode
+
+
 @partial(jax.jit, static_argnames=("out_hw", "backend_kernel", "resize_mode"))
 def _upscale_planar_jit(bgr_p, weights: SRCNNWeights, out_hw: tuple[int, int],
                         backend_kernel: str = "pallas",
@@ -90,7 +104,8 @@ def upscale_bgr_batch(bgr_u8, scale: float, weights: SRCNNWeights | None = None,
     else:  # host transpose is memcpy-speed; avoids the padded HWC layout
         planar = jnp.asarray(
             np.ascontiguousarray(np.moveaxis(np.asarray(bgr_u8), -1, 1)))
-    out = _upscale_planar_jit(planar, weights, (oh, ow), kernel, resize)
+    out = _upscale_planar_jit(planar, weights, (oh, ow), kernel,
+                              resolve_resize(resize))
     return jnp.moveaxis(out, 1, -1)
 
 

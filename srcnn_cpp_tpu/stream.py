@@ -46,7 +46,7 @@ class StreamUpscaler:
 
     def __init__(self, scale: float, weights: SRCNNWeights | None = None,
                  kernel: str = "pallas", depth: int = 3, batch: int = 1,
-                 resize: str = "exact"):
+                 resize: str = "auto"):
         self.scale = float(scale)
         self.kernel = kernel
         self.resize = resize
@@ -88,7 +88,7 @@ class StreamUpscaler:
 
 
 def run_synthetic(n: int, size: tuple[int, int], scale: float,
-                  kernel: str, batch: int = 1, resize: str = "exact") -> dict:
+                  kernel: str, batch: int = 1, resize: str = "auto") -> dict:
     """Throughput benchmark over synthetic frames; returns fps/MP/s."""
     h, w = size
     rng = np.random.default_rng(0)
@@ -118,7 +118,7 @@ def run_synthetic(n: int, size: tuple[int, int], scale: float,
 
 def run_video(src: str, dst: str, scale: float, kernel: str,
               verbose: bool = True, batch: int = 1,
-              resize: str = "exact") -> int:
+              resize: str = "auto") -> int:
     try:
         import cv2
     except Exception:
@@ -174,7 +174,7 @@ def main(argv=None) -> int:
                     help="benchmark N synthetic frames instead of a file")
     ap.add_argument("--size", default="1920x1080",
                     help="synthetic frame WxH")
-    ap.add_argument("--resize", default="exact",
+    ap.add_argument("--resize", default="auto",
                     choices=["exact", "fast", "fused"],
                     help="pre/post passes: exact XLA engine, fast banded "
                          "matmul, or fused Pallas (bit-identical on TPU)")

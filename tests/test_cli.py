@@ -128,3 +128,17 @@ def test_end_to_end_subprocess(tmp_path):
     out = cv2.imread(str(out_path))
     assert out.shape == (48, 72, 3)
     assert "Performance" in proc.stdout
+
+
+def test_resize_auto_default_and_resolution():
+    """--resize defaults to auto; auto resolves per backend (exact on CPU)."""
+    from srcnn_cpp_tpu.cli import parse_args
+    from srcnn_cpp_tpu.pipeline import resolve_resize
+
+    assert parse_args(["a.png"])["resize"] == "auto"
+    assert parse_args(["--resize=fused", "a.png"])["resize"] == "fused"
+    # the hermetic suite runs on the CPU backend -> auto must pick the
+    # bit-exact XLA engines (fused is interpret-mode-only off chip)
+    assert resolve_resize("auto") == "exact"
+    for mode in ("exact", "fast", "fused"):  # concrete modes pass through
+        assert resolve_resize(mode) == mode
