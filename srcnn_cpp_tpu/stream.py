@@ -175,8 +175,9 @@ def main(argv=None) -> int:
     ap.add_argument("--size", default="1920x1080",
                     help="synthetic frame WxH")
     ap.add_argument("--resize", default="auto",
-                    choices=["exact", "fast", "fused"],
-                    help="pre/post passes: exact XLA engine, fast banded "
+                    choices=["auto", "exact", "fast", "fused"],
+                    help="pre/post passes: auto (fused on TPU, exact "
+                         "elsewhere), exact XLA engine, fast banded "
                          "matmul, or fused Pallas (bit-identical on TPU)")
     ap.add_argument("--batch", type=int, default=1,
                     help="micro-batch size per dispatch (bit-identical; "
