@@ -11,6 +11,9 @@ Experiments:
     stencil   per-row scatter vs contiguous block stencil (+ row clamp)
     packed    tile sweep at the lane-packed batch geometry (add "4k" for
               the 8x4K packing instead of 32x1080p)
+    layout    per-stage matmul-structure candidates (c1m/c1two/c2dots/
+              c3dots, see _prep_weights) at the production packed geometry
+              (add "4k" for the 8x4K packing)
 
 Methodology (axon relay): interleaved best-of-N per variant in one
 process (shared chip, +-2x run-to-run variance), completion fenced with a
@@ -62,6 +65,19 @@ def _experiment(name: str):
                                      (80, 3712, 1), (64, 1856, 2),
                                      (32, 3712, 1), (64, 2560, 1)]]
         return (h, wc), True, b * h * w / 1e6, cases
+    if name == "layout":
+        b, h, w = (8, H4K, W4K) if "4k" in sys.argv[2:] else (32, 1080, 1920)
+        wc = b * (w + 8)
+        th = 80 if "4k" in sys.argv[2:] else 72
+        layouts = ["base", "c1m", "c1two", "c2dots", "c3dots",
+                   "c2dots+c3dots", "c1m+c2dots+c3dots",
+                   "c1two+c2dots+c3dots"]
+        cases = []
+        for spec in layouts:
+            lay = frozenset(spec.split("+")) - {"base"}
+            cases.append((spec, f"lay:{spec}", th, 3712,
+                          dict(true_h=h, layout=lay)))
+        return (h, wc), True, b * h * w / 1e6, cases
     mp = H4K * W4K / 1e6
     if name == "stacked":
         tiles = [(16, 640), (24, 640), (32, 640), (16, 768), (32, 512)]
@@ -103,6 +119,11 @@ def main() -> None:
         "new": jax.tree_util.tree_map(
             jnp.asarray, _prep_weights(weights, stacked=True)),
     }
+    for _, tag, _, _, _ in cases:
+        if tag.startswith("lay:") and tag not in packs:
+            lay = frozenset(tag[4:].split("+")) - {"base"}
+            packs[tag] = jax.tree_util.tree_map(
+                jnp.asarray, _prep_weights(weights, layout=lay))
     base = np.random.default_rng(0).integers(0, 256, (h, w), dtype=np.uint8)
 
     fns, outs = {}, {}

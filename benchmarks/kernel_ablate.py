@@ -7,10 +7,18 @@ on-chip timings vary run to run on a shared chip (KERNEL_NOTES.md).
 
 Usage (real TPU):
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/kernel_ablate.py
+    ... kernel_ablate.py packed        # production batch-32 1080p composite
+    ... kernel_ablate.py packed4k      # production batch-8 4K composite
+
+Default mode is the single-plane 4K geometry (round-2 record); ``packed``
+modes reproduce the PRODUCTION lane-packed composite (true_h row clamp on,
+(72,3712)/(80,3712) tiles) that the pipeline actually runs — VERDICT r3
+item 1 asked for stage shares at exactly this geometry.
 """
 
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
@@ -35,16 +43,29 @@ def main() -> None:
     enable_compilation_cache()
     weights = load_weights()
     packed = jax.tree_util.tree_map(jnp.asarray, _prep_weights(weights))
-    th, tw = _pick_tiles(H, W)
-    hp = ((H + th - 1) // th) * th
-    wp = ((W + tw - 1) // tw) * tw
+    mode = sys.argv[1] if len(sys.argv) > 1 else "4k"
+    kw = {}
+    if mode.startswith("packed"):
+        # the production lane-packed composite (srcnn_y_fused pack branch):
+        # b frames concatenated on the lane axis with 4+4 replicate cols
+        b, fh, fw = (8, H, W) if mode == "packed4k" else (32, 1080, 1920)
+        h, w = fh, b * (fw + 8)
+        kw = dict(true_h=h)
+        mp = b * fh * fw / 1e6
+    else:
+        h, w = H, W
+        mp = H * W / 1e6
+    th, tw = _pick_tiles(h, w)
+    hp = ((h + th - 1) // th) * th
+    wp = ((w + tw - 1) // tw) * tw
     y = np.random.default_rng(0).integers(
         0, 256, (hp + 16, wp + 128), dtype=np.uint8)
     yd = jnp.asarray(y)
 
     fns = {}
     for name, flags in VARIANTS:
-        fns[name] = lambda flags=flags: _fused_call(yd, packed, th, tw, flags)
+        fns[name] = (lambda flags=flags:
+                     _fused_call(yd, packed, th, tw, flags, **kw))
         out = fns[name]()
         np.asarray(out[:2, :2])  # compile + fence (relay-safe)
         print(f"compiled {name}", flush=True)
@@ -59,8 +80,7 @@ def main() -> None:
             np.asarray(out[:2, :2])
             best[name] = min(best[name], (time.monotonic() - t0) / n)
 
-    mp = H * W / 1e6
-    print(f"\ntile ({th},{tw})  plane {W}x{H} = {mp:.1f} MP")
+    print(f"\n[{mode}] tile ({th},{tw})  plane {w}x{h}  useful {mp:.1f} MP")
     print(f"{'variant':>16}  {'ms':>8}  {'MP/s':>8}")
     for name, _ in VARIANTS:
         print(f"{name:>16}  {best[name]*1e3:8.2f}  {mp/best[name]:8.1f}")

@@ -2,6 +2,8 @@
 
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/prepost_ab.py pre
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/prepost_ab.py post
+    ... prepost_ab.py preablate    # cumulative stage ablation of the
+                                   # pre-pass kernel (round-4 attribution)
 
 Sweeps the (tih, tiw) / (th, tw) tile policies of
 ``ops/pallas_resize._apply_fused_pre`` and
@@ -34,7 +36,7 @@ OH, OW = 2 * H, 2 * W
 
 
 def main() -> None:
-    if len(sys.argv) < 2 or sys.argv[1] not in ("pre", "post"):
+    if len(sys.argv) < 2 or sys.argv[1] not in ("pre", "post", "preablate"):
         print(__doc__)
         return
     exp = sys.argv[1]
@@ -43,10 +45,70 @@ def main() -> None:
     x = jnp.asarray(rng.integers(0, 256, (BATCH, 3, H, W), dtype=np.uint8))
     mp = BATCH * OH * OW / 1e6
 
+    if exp == "preablate":
+        # cumulative stage knockout (each adds one skipped stage); the
+        # differenced table attributes the kernel's time by stage.  Only
+        # "full" is bit-checked (the others compute wrong values by design).
+        ref = np.asarray(resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (OH, OW)))
+        steps = [("full", frozenset()),
+                 ("-inter", frozenset({"inter"})),
+                 ("-round", frozenset({"inter", "round"})),
+                 ("-vpass", frozenset({"inter", "round", "v"})),
+                 ("-hpass", frozenset({"inter", "round", "v", "h"})),
+                 ("-color", frozenset({"inter", "round", "v", "h",
+                                       "color"}))]
+
+        def make(step):
+            from srcnn_cpp_tpu.ops.pallas_resize import (_apply_fused_pre,
+                                                         _pre_statics)
+
+            st = _pre_statics(OH, H, OW, W)
+            return jax.jit(lambda v: _apply_fused_pre(
+                v, OH, OW, st, ablate=step[1]))
+
+        fns, first = {}, {}
+        for step in steps:
+            fn = make(step)
+            out = fn(x)
+            if step[0] == "full":
+                d = int(np.abs(np.asarray(out).astype(int)
+                               - ref.astype(int)).max())
+                print(f"compiled full: max LSB vs engine {d}", flush=True)
+                first[step[0]] = d
+            else:
+                np.asarray(out[0, 0, :2, :2])
+                print(f"compiled {step[0]}", flush=True)
+                first[step[0]] = -1
+            fns[step[0]] = fn
+
+        best = {n: float("inf") for n in fns}
+        for _ in range(5):
+            for name, fn in fns.items():
+                t0 = time.monotonic()
+                out = None
+                for _ in range(4):
+                    out = fn(x)
+                np.asarray(out[0, 0, :2, :2])
+                best[name] = min(best[name], (time.monotonic() - t0) / 4)
+
+        print(f"\n[preablate] batch {BATCH} {W}x{H} -> {OW}x{OH}, "
+              f"{mp:.1f} MP")
+        print(f"{'variant':>8}  {'ms':>8}  {'MP/s':>8}")
+        for name in fns:
+            print(f"{name:>8}  {best[name] * 1e3:8.2f}  "
+                  f"{mp / best[name]:8.1f}")
+        print("\ndifferenced stage costs (ms):")
+        names = [s[0] for s in steps]
+        for a, b in zip(names, names[1:]):
+            print(f"  {b[1:]:>6}: {1e3 * (best[a] - best[b]):7.2f}")
+        print(f"  floor (dma+casts+writes): {1e3 * best[names[-1]]:7.2f}")
+        return
+
     if exp == "pre":
         ref = np.asarray(resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (OH, OW)))
-        tiles = [None, (8, 256), (16, 256), (32, 128), (32, 256), (32, 512),
-                 (64, 256), (32, 1024), (16, 1920)]
+        tiles = [None, (16, 256), (32, 256), (32, 512),
+                 (32, 1024), (48, 512), (48, 1024), (64, 512), (64, 1024),
+                 (40, 1280), (16, 1920)]
 
         def make(tile):
             return jax.jit(lambda v: pre_upscale_fused(v, (OH, OW))

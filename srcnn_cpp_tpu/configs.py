@@ -50,7 +50,7 @@ def batch_1080p_to_4k(weights: SRCNNWeights | None = None, batch: int = 32,
 
 
 def single_8k(weights: SRCNNWeights | None = None, mesh=None,
-              scale: float = 2.0, kernel: str = "xla",
+              scale: float = 2.0, kernel: str = "pallas",
               resize: str = "auto"):
     """Runner: one huge frame; rows tile over the mesh when given.
 
@@ -58,11 +58,13 @@ def single_8k(weights: SRCNNWeights | None = None, mesh=None,
     jitted program with row-sharding constraints on the color/resize/merge
     stages (GSPMD inserts the resize's boundary comms) and the explicit
     halo-exchange tiling for the conv — no unsharded full-plane op remains
-    (round-2 judge finding).  ``kernel="pallas"`` runs the fused kernel
-    per device for the conv; ``resize="fused"`` runs the pre-pass as one
-    Pallas kernel per device too (explicit ppermute input halos,
-    parallel/tiling.pre_upscale_fused_rows) with the GSPMD engine as the
-    automatic fallback for geometries it declines.
+    (round-2 judge finding).  ``kernel`` defaults to the fused Pallas
+    conv like every other production config (per-device-under-shard_map is
+    Mosaic-validated on chip, SCALING.md 2026-08-19); ``kernel="xla"``
+    keeps the split-precision XLA conv.  ``resize="fused"`` runs the
+    pre-pass as one Pallas kernel per device too (explicit ppermute input
+    halos, parallel/tiling.pre_upscale_fused_rows) with the GSPMD engine
+    as the automatic fallback for geometries it declines.
     """
     from .pipeline import resolve_resize
 
@@ -106,7 +108,8 @@ def single_8k(weights: SRCNNWeights | None = None, mesh=None,
         if mesh is None:
             from .pipeline import upscale_bgr
 
-            return np.asarray(upscale_bgr(bgr, scale, weights))
+            return np.asarray(upscale_bgr(bgr, scale, weights,
+                                          kernel=kernel, resize=resize))
         import jax
 
         from .ops.resize import scaled_size

@@ -59,13 +59,20 @@ __all__ = ["pre_upscale_fused"]
 
 
 def _kernel(bgr_ref, *refs, tih: int, tiw: int,
-            svp: int, swp: int, pv: int, ph: int, vb, vc, hb, hc):
+            svp: int, swp: int, pv: int, ph: int, vb, vc, hb, hc,
+            ablate: frozenset = frozenset()):
     """``ph`` (3, pv*tih, tiw) phase tiles from a (3, svp, swp) BGR slab.
 
     Output phase ``p`` holds output columns ``p, p+ph, p+2*ph, ...`` — the
     caller lane-interleaves the phase planes (a Mosaic ``tpu.reshape`` of
     an interleave into the lane axis is unsupported, so the interleave
     happens outside the kernel; it is a bandwidth-trivial u8 relayout).
+
+    ``ablate`` (profiling only, never set on the production path) skips
+    named stages so their cost can be attributed on-chip by differencing:
+    "color" feeds raw casts, "h"/"v" replace that pass's arithmetic with a
+    same-shape slice, "round" skips round+clip, "inter" replaces the
+    vertical-phase interleave with a plain concat (same bytes, contiguous).
     """
     out_refs, (slab, dma_sem) = refs[:ph], refs[ph:]
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -104,31 +111,46 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
 
     # fixed-point color conversion, exact in f32 (ops/color.py semantics)
     bl, gr, rd = x[0], x[1], x[2]
-    y = _descale_f32(bl * _B2Y + gr * _G2Y + rd * _R2Y)
-    cr = _descale_f32((rd - y) * _R2CR + _DELTA)
-    cb = _descale_f32((bl - y) * _B2CB + _DELTA)
-    # clip to the u8 range like bgr2ycrcb_u8_planar (y/cr/cb of valid BGR
-    # are already in range; the clip matches the engine exactly anyway)
-    ycc = jnp.clip(jnp.stack([y, cr, cb], axis=0), 0.0, 255.0)
+    if "color" in ablate:
+        ycc = jnp.stack([bl, gr, rd], axis=0)
+    else:
+        y = _descale_f32(bl * _B2Y + gr * _G2Y + rd * _R2Y)
+        cr = _descale_f32((rd - y) * _R2CR + _DELTA)
+        cb = _descale_f32((bl - y) * _B2CB + _DELTA)
+        # clip to the u8 range like bgr2ycrcb_u8_planar (y/cr/cb of valid
+        # BGR are already in range; the clip matches the engine exactly
+        # anyway)
+        ycc = jnp.clip(jnp.stack([y, cr, cb], axis=0), 0.0, 255.0)
 
     th = pv * tih
     for p in range(ph):
-        # horizontal phase p: 4 contiguous lane slices x int coefficients
-        # (exact integer sums in f32, ops/resize.py hplan branch)
-        rp = ycc[:, :, hb[p][3]: hb[p][3] + tiw] * jnp.float32(hc[p][3])
-        for k in (2, 1, 0):
-            rp = ycc[:, :, hb[p][k]: hb[p][k] + tiw] * jnp.float32(hc[p][k]) \
-                + rp                                      # [3, svp, tiw]
+        if "h" in ablate:
+            rp = ycc[:, :, 0:tiw]
+        else:
+            # horizontal phase p: 4 contiguous lane slices x int
+            # coefficients (exact integer sums in f32, hplan branch)
+            rp = ycc[:, :, hb[p][3]: hb[p][3] + tiw] * jnp.float32(hc[p][3])
+            for k in (2, 1, 0):
+                rp = ycc[:, :, hb[p][k]: hb[p][k] + tiw] \
+                    * jnp.float32(hc[p][k]) + rp          # [3, svp, tiw]
         phases = []
         for q in range(pv):
-            # vertical phase q: OpenCV's right-to-left separate mul/add
-            # roundings — the identical op sequence as ops/resize._vpass
-            r2 = rp[:, vb[q][3]: vb[q][3] + tih, :] * vc[q][3]
-            for k in (2, 1, 0):
-                r2 = rp[:, vb[q][k]: vb[q][k] + tih, :] * vc[q][k] + r2
-            phases.append(jnp.clip(jnp.round(r2), 0.0, 255.0))
-        col = phases[0] if pv == 1 else jnp.stack(
-            phases, axis=2).reshape(3, th, tiw)   # rows interleaved
+            if "v" in ablate:
+                r2 = rp[:, 0:tih, :]
+            else:
+                # vertical phase q: OpenCV's right-to-left separate
+                # mul/add roundings — identical ops as ops/resize._vpass
+                r2 = rp[:, vb[q][3]: vb[q][3] + tih, :] * vc[q][3]
+                for k in (2, 1, 0):
+                    r2 = rp[:, vb[q][k]: vb[q][k] + tih, :] * vc[q][k] + r2
+            phases.append(r2 if "round" in ablate
+                          else jnp.clip(jnp.round(r2), 0.0, 255.0))
+        if pv == 1:
+            col = phases[0]
+        elif "inter" in ablate:
+            col = jnp.concatenate(phases, axis=1)
+        else:
+            col = jnp.stack(phases, axis=2).reshape(3, th, tiw)
         # Mosaic has no direct f32->u8 cast; truncate via i32 (col is a
         # clipped non-negative integer-valued f32, so the value is
         # unchanged)
@@ -137,13 +159,13 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
 
 @functools.partial(
     jax.jit, static_argnames=("tih", "tiw", "svp", "swp", "pv", "ph",
-                              "vb", "vc", "hb", "hc", "gh", "gw"))
+                              "vb", "vc", "hb", "hc", "gh", "gw", "ablate"))
 def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
-                    gh, gw):
+                    gh, gw, ablate: frozenset = frozenset()):
     nb = ypad.shape[0]
     body = functools.partial(
         _kernel, tih=tih, tiw=tiw, svp=svp, swp=swp, pv=pv, ph=ph,
-        vb=vb, vc=vc, hb=hb, hc=hc)
+        vb=vb, vc=vc, hb=hb, hc=hc, ablate=ablate)
     phase_planes = pl.pallas_call(
         body,
         grid=(nb, gh, gw),
@@ -198,7 +220,8 @@ def _pre_statics(oh: int, ih: int, ow: int, iw: int):
 
 
 def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
-                     tile: tuple[int, int] | None = None):
+                     tile: tuple[int, int] | None = None,
+                     ablate: frozenset = frozenset()):
     """Run the kernel over ``x [B, 3, rows, W]`` -> YCrCb ``[B, 3, oh, ow]``.
 
     ``rows_above`` rows of REAL vertical context sit above the first owned
@@ -243,7 +266,7 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
             (left, max(0, need_c - left - iw))),
         mode="edge")
     return _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
-                           gh, gw)[:, :, :oh, :ow]
+                           gh, gw, ablate=ablate)[:, :, :oh, :ow]
 
 
 def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):

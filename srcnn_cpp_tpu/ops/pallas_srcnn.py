@@ -63,7 +63,8 @@ def _split_vmem(x):
     return split_hi_lo(x, bitcast=pltpu.bitcast)
 
 
-def _prep_weights(weights, stacked: bool = True):
+def _prep_weights(weights, stacked: bool = True,
+                  layout: frozenset = frozenset()):
     """Packing of SRCNNWeights into kernel layouts (hi/lo bf16 pairs).
 
     Pure jnp so it traces under jit (weights may be tracers there).  conv1
@@ -75,6 +76,19 @@ def _prep_weights(weights, stacked: bool = True):
     ``[[wh, wh], [wl, 0]]`` so the hi·hi + hi·lo + lo·hi terms ride one
     K-stacked pass.  ``stacked=False`` keeps the 8-matmul layout (kept for
     on-chip A/B attribution only).
+
+    ``layout`` selects per-stage alternative matmul structures (on-chip
+    A/B candidates, KERNEL_NOTES round 4; each produces the same three
+    split-precision products per stage, summed in a different f32 order —
+    within the same ~2^-16 error class as the base layout):
+
+    * ``"c1m"``  — conv1 M-stacked ``[w1h; w1l] (128, 96)``: full MXU M,
+      K halved, single (96, tw4) patch operand; costs a (128, tw4) f32
+      partial + halve-sum;
+    * ``"c1two"`` — conv1 as two K=96 dots sharing one (96, tw4) operand;
+    * ``"c2dots"`` — conv2 as ``[w2h|w2h] @ [f1h; f1l] + w2l @ f1h``:
+      the K-axis concat shrinks from (192, tw4) to (128, tw4);
+    * ``"c3dots"`` — same restructure for conv3 (concat (96,)->(64, tw4)).
     """
     w1 = jnp.asarray(weights.conv1_w, jnp.float32).reshape(64, 9, 9)
     w1 = jnp.transpose(w1, (0, 2, 1)).reshape(64, 81)     # [oc, dx*9+dy]
@@ -100,10 +114,21 @@ def _prep_weights(weights, stacked: bool = True):
     w3x = jnp.transpose(w3x, (2, 1, 0))[:, ::-1, :].reshape(25, 32)
     w3xp = jnp.zeros((32, 32), jnp.float32).at[:25].set(w3x)
     w3h, w3l = _split_hi_lo(w3xp)
-    w1s = jnp.concatenate([w1h, w1l], axis=1)             # (64, 192)
-    w2s = jnp.concatenate([w2h, w2l, w2h], axis=1)        # (32, 192)
-    w3s = jnp.concatenate([w3h, w3l, w3h], axis=1)        # (32, 96)
-    return (w1s, w2s, w3s, b1, b2, b3)
+    if "c1m" in layout:
+        c1 = (jnp.concatenate([w1h, w1l], axis=0),)       # (128, 96)
+    elif "c1two" in layout:
+        c1 = (w1h, w1l)                                   # 2 x (64, 96)
+    else:
+        c1 = (jnp.concatenate([w1h, w1l], axis=1),)       # (64, 192)
+    if "c2dots" in layout:
+        c2 = (jnp.concatenate([w2h, w2h], axis=1), w2l)   # (32,128)+(32,64)
+    else:
+        c2 = (jnp.concatenate([w2h, w2l, w2h], axis=1),)  # (32, 192)
+    if "c3dots" in layout:
+        c3 = (jnp.concatenate([w3h, w3h], axis=1), w3l)   # (32,64)+(32,32)
+    else:
+        c3 = (jnp.concatenate([w3h, w3l, w3h], axis=1),)  # (32, 96)
+    return (*c1, *c2, *c3, b1, b2, b3)
 
 
 def _kernel(y_ref, w1h_ref, w1l_ref, w2h_ref, w2l_ref, w3h_ref, w3l_ref,
@@ -230,11 +255,10 @@ def _row_clamp_plan(h: int, th: int):
             {k: tuple(v) for k, v in extras.items()})
 
 
-def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
-                    out_ref, slab, cc, dma_sem,
-                    *, th: int, tw: int, ablate: frozenset = frozenset(),
+def _kernel_stacked(y_ref, *refs,
+                    th: int, tw: int, ablate: frozenset = frozenset(),
                     gw: int = 0, total: int = 0, true_h: int = 0,
-                    rpb: int = 1):
+                    rpb: int = 1, layout: frozenset = frozenset()):
     """K-stacked-matmul variant: one dot per stage per feature row.
 
     Every stage's split-precision products ride the K axis of a single dot
@@ -245,13 +269,21 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
     partials to write, re-read and halve-sum, which matters because the
     kernel is VMEM-bandwidth-bound, not MXU-pass-bound (KERNEL_NOTES.md
     round 2).  Numerics: the same products as the 8-matmul layout, summed
-    in one f32 K-reduction.
+    in one f32 K-reduction.  ``layout`` swaps in the per-stage alternative
+    structures of :func:`_prep_weights` (A/B candidates, round 4).
 
     ``true_h`` (static) enables the in-kernel feature-row clamp
     (:func:`_row_clamp_plan`): the top/bottom 2 output rows then carry the
     reference's conv3 row semantics directly, and no top/bottom strip
     recompute is needed outside the kernel (left/right columns still are).
     """
+    n1 = 2 if "c1two" in layout else 1
+    n2 = 2 if "c2dots" in layout else 1
+    n3 = 2 if "c3dots" in layout else 1
+    w1refs = refs[:n1]
+    w2refs = refs[n1:n1 + n2]
+    w3refs = refs[n1 + n2:n1 + n2 + n3]
+    b1_ref, b2_ref, out_ref, slab, cc, dma_sem = refs[n1 + n2 + n3:]
     th4, tw4 = th + 4, tw + 4
     s_rows = th + 16
     i, j = pl.program_id(0), pl.program_id(1)
@@ -296,7 +328,9 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
     for dx in range(9):
         cc[dx * s_rows:(dx + 1) * s_rows, :] = sb[:, dx:dx + tw4]
 
-    w1s, w2s, w3s = w1s_ref[...], w2s_ref[...], w3s_ref[...]
+    w1 = tuple(r[...] for r in w1refs)
+    w2 = tuple(r[...] for r in w2refs)
+    w3 = tuple(r[...] for r in w3refs)
     b1, b2 = b1_ref[...], b2_ref[...]
     zero_pad = jnp.zeros((_KTAPS - 81, tw4), jnp.bfloat16)
 
@@ -306,6 +340,7 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
             preferred_element_type=jnp.float32)
 
     split = _split_vmem
+    single_rp = "c1m" in layout or "c1two" in layout  # (96, tw4) operand
 
     out_ref[...] = jnp.zeros((th, tw), jnp.float32)
 
@@ -315,12 +350,13 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
     # row, amortizing the VPU op-issue overhead that dominates per-row cost
     for rf0 in range(0, th4, rpb):
         nr = min(rpb, th4 - rf0)
+        dup = 1 if single_rp else 2
         if "concat" in ablate:
-            rp = cc[rf0:rf0 + 2 * _KTAPS, 0:nr * tw4]
+            rp = cc[rf0:rf0 + dup * _KTAPS, 0:nr * tw4]
         elif nr == 1:
             windows = [cc[dx * s_rows + rf0: dx * s_rows + rf0 + 9, :]
                        for dx in range(9)] + [zero_pad]
-            rp = jnp.concatenate(windows * 2, axis=0)  # (192, tw4) bf16
+            rp = jnp.concatenate(windows * dup, axis=0)  # (96|192, tw4)
         else:
             halves = []
             for r in range(nr):
@@ -329,22 +365,38 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
                     [cc[dx * s_rows + rf: dx * s_rows + rf + 9, :]
                      for dx in range(9)] + [zero_pad], axis=0))  # (96, tw4)
             one = jnp.concatenate(halves, axis=1)
-            rp = jnp.concatenate([one, one], axis=0)   # (192, nr*tw4) bf16
-        f1 = jnp.maximum(dot(w1s, rp) + b1, 0.0)       # (64, nr*tw4) f32
+            rp = one if single_rp else \
+                jnp.concatenate([one, one], axis=0)    # (192, nr*tw4) bf16
+        if "c1m" in layout:
+            p = dot(w1[0], rp)                         # (128, nr*tw4) f32
+            f1 = jnp.maximum(p[0:64, :] + p[64:128, :] + b1, 0.0)
+        elif "c1two" in layout:
+            f1 = jnp.maximum(dot(w1[0], rp) + dot(w1[1], rp) + b1, 0.0)
+        else:
+            f1 = jnp.maximum(dot(w1[0], rp) + b1, 0.0)  # (64, nr*tw4) f32
         if "conv2" in ablate:
             if rf0 < th:
                 out_ref[rf0:rf0 + 1, :] += f1[0:1, 0:tw]
             continue
         f1h, f1l = split(f1)
-        f2 = jnp.maximum(
-            dot(w2s, jnp.concatenate([f1h, f1h, f1l], axis=0)) + b2,
-            0.0)                                       # (32, nr*tw4) f32
+        if "c2dots" in layout:
+            f2 = jnp.maximum(
+                dot(w2[0], jnp.concatenate([f1h, f1l], axis=0))
+                + dot(w2[1], f1h) + b2, 0.0)
+        else:
+            f2 = jnp.maximum(
+                dot(w2[0], jnp.concatenate([f1h, f1h, f1l], axis=0)) + b2,
+                0.0)                                   # (32, nr*tw4) f32
         if "conv3" in ablate:
             if rf0 < th:
                 out_ref[rf0:rf0 + 1, :] += f2[0:1, 0:tw]
             continue
         f2h, f2l = split(f2)
-        q = dot(w3s, jnp.concatenate([f2h, f2h, f2l], axis=0))  # (32, nr*tw4)
+        if "c3dots" in layout:
+            q = dot(w3[0], jnp.concatenate([f2h, f2l], axis=0)) \
+                + dot(w3[1], f2h)                      # (32, nr*tw4)
+        else:
+            q = dot(w3[0], jnp.concatenate([f2h, f2h, f2l], axis=0))
         if "stencil" in ablate:
             if rf0 < th:
                 out_ref[rf0:rf0 + 1, :] += q[0:1, 0:tw]
@@ -392,12 +444,13 @@ def _kernel_stacked(y_ref, w1s_ref, w2s_ref, w3s_ref, b1_ref, b2_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("th", "tw", "ablate", "dbuf", "true_h",
-                                    "rpb"))
+                                    "rpb", "layout"))
 def _fused_call(y_pad, packed, th: int, tw: int,
                 ablate: frozenset = frozenset(), dbuf: bool = True,
-                true_h: int = 0, rpb: int = 1):
+                true_h: int = 0, rpb: int = 1,
+                layout: frozenset = frozenset()):
     *wrefs, b3 = packed
-    stacked = len(wrefs) == 5          # (w1s, w2s, w3s, b1, b2)
+    stacked = len(wrefs) == 5 or bool(layout)  # (w1s, w2s, w3s, b1, b2)
     # the in-kernel feature-row clamp is only implemented by the stacked
     # kernel; silently ignoring true_h would return wrong border rows
     assert stacked or not true_h, \
@@ -411,7 +464,7 @@ def _fused_call(y_pad, packed, th: int, tw: int,
         body = functools.partial(
             _kernel_stacked, th=th, tw=tw, ablate=ablate,
             gw=gw, total=gh * gw if dbuf else 0, true_h=true_h,
-            rpb=1 if ablate else rpb)
+            rpb=1 if ablate else rpb, layout=layout)
     else:
         body = functools.partial(_kernel, th=th, tw=tw, ablate=ablate)
     slab_shape = (2, th + 16, tw + 128) if dbuf else (th + 16, tw + 128)

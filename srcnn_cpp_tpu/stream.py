@@ -118,7 +118,15 @@ def run_synthetic(n: int, size: tuple[int, int], scale: float,
 
 def run_video(src: str, dst: str, scale: float, kernel: str,
               verbose: bool = True, batch: int = 1,
-              resize: str = "auto") -> int:
+              resize: str = "auto", codec: str = "FFV1") -> int:
+    """Upscale a video file through the pipelined stream.
+
+    ``codec`` is the output fourcc.  The default is LOSSLESS (FFV1, same
+    as the distributed runner, parallel/distributed.py): the compute path
+    is bit-exact end to end, so the default writer should not be the place
+    fidelity silently ends — pass e.g. ``mp4v``/``avc1`` explicitly when a
+    lossy delivery format is wanted.
+    """
     try:
         import cv2
     except Exception:
@@ -138,9 +146,10 @@ def run_video(src: str, dst: str, scale: float, kernel: str,
         if writer is None:
             oh, ow = out.shape[:2]
             writer = cv2.VideoWriter(
-                dst, cv2.VideoWriter_fourcc(*"mp4v"), fps, (ow, oh))
+                dst, cv2.VideoWriter_fourcc(*codec), fps, (ow, oh))
             if not writer.isOpened():
-                raise RuntimeError(f"cannot open video writer for {dst!r}")
+                raise RuntimeError(f"cannot open video writer for {dst!r} "
+                                   f"(codec {codec!r} unavailable?)")
         writer.write(out)
         n += 1
 
@@ -182,6 +191,9 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=1,
                     help="micro-batch size per dispatch (bit-identical; "
                          "higher throughput, +batch-1 frames latency)")
+    ap.add_argument("--codec", default="FFV1",
+                    help="output fourcc (default FFV1, lossless — pass "
+                         "mp4v/avc1 etc. for lossy delivery formats)")
     args = ap.parse_args(argv)
 
     if args.synthetic:
@@ -195,7 +207,7 @@ def main(argv=None) -> int:
         ap.print_help()
         return 1
     return run_video(args.src, args.dst, args.scale, args.kernel,
-                     batch=args.batch, resize=args.resize)
+                     batch=args.batch, resize=args.resize, codec=args.codec)
 
 
 if __name__ == "__main__":

@@ -70,6 +70,28 @@ def test_malformed_extension_flag_values(capsys):
     assert parse_args(["--repeat=0", "a.png"])["repeat"] == 1
 
 
+def test_cli_downscale_end_to_end(monkeypatch, tmp_path):
+    # --scale=0.5 runs the full pipeline at scale < 1 (the reference
+    # accepts any positive scale, srcnn.cpp:359-370) and writes the
+    # oracle-exact shrunken image
+    import srcnn_cpp_tpu.cli as cli
+    from srcnn_cpp_tpu.oracle import pipeline_ref
+
+    img = np.random.default_rng(5).integers(0, 256, (32, 44, 3),
+                                            dtype=np.uint8)
+    written = {}
+    monkeypatch.setattr(cli, "imread_bgr", lambda p: img)
+    monkeypatch.setattr(cli, "imwrite_bgr",
+                        lambda p, o: written.update({p: np.asarray(o)}) or True)
+    opts = parse_args(["--noverbose", "--scale=0.5",
+                       str(tmp_path / "in.png")])
+    assert cli.run(opts) == 0
+    (out,) = written.values()
+    assert out.shape == (16, 22, 3)
+    assert np.abs(out.astype(int)
+                  - pipeline_ref(img, 0.5).astype(int)).max() <= 1
+
+
 def test_exit_code_colorspace(monkeypatch, capsys):
     # a decoded image that is not 3-channel maps to the reference's
     # cvtColor failure code (-2 -> 2, srcnn.cpp:509-526)

@@ -40,13 +40,18 @@ def test_single_8k_config_meshed(weights):
     from srcnn_cpp_tpu.pipeline import upscale_bgr
 
     mesh = make_mesh(data=1, row=8)
-    run = single_8k(weights, mesh=mesh)
+    # kernel="xla" pins the strictest gate — tiled-xla vs monolithic-xla is
+    # bit-exact, so any halo/seam bug shows as a hard mismatch
+    run = single_8k(weights, mesh=mesh, kernel="xla")
     frame = np.random.default_rng(2).integers(0, 256, (32, 40, 3),
                                               dtype=np.uint8)
     out = run(frame)
     ref = np.asarray(upscale_bgr(frame, 2.0, weights, kernel="xla"))
-    # tiled conv path is bit-exact vs the xla path; merge/color identical
     assert np.array_equal(out, ref)
+    # the production default (fused Pallas conv per device) carries the
+    # usual <=1-LSB split-precision band vs the fp32 XLA path
+    out_p = single_8k(weights, mesh=mesh)(frame)
+    assert np.abs(out_p.astype(int) - ref.astype(int)).max() <= 1
 
 
 def test_single_8k_config_meshed_odd_height(weights):
@@ -56,7 +61,7 @@ def test_single_8k_config_meshed_odd_height(weights):
     from srcnn_cpp_tpu.pipeline import upscale_bgr
 
     mesh = make_mesh(data=1, row=8)
-    run = single_8k(weights, mesh=mesh, scale=1.5)
+    run = single_8k(weights, mesh=mesh, scale=1.5, kernel="xla")
     frame = np.random.default_rng(3).integers(0, 256, (37, 26, 3),
                                               dtype=np.uint8)
     out = run(frame)

@@ -78,6 +78,36 @@ def test_stream_synthetic_benchmark(weights):
     assert r["fps"] > 0
 
 
+def test_stream_video_lossless_default(tmp_path, weights):
+    # run_video's default codec is LOSSLESS (FFV1, matching the distributed
+    # runner): the decoded output must be bit-identical to the pipeline on
+    # the decoded input — fidelity must not silently end at the encoder
+    cv2 = pytest.importorskip("cv2")
+    from srcnn_cpp_tpu.pipeline import upscale_bgr
+    from srcnn_cpp_tpu.stream import run_video
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+              for _ in range(3)]
+    src, dst = tmp_path / "in.avi", tmp_path / "out.avi"
+    wr = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"FFV1"), 30.0,
+                         (32, 24))
+    if not wr.isOpened():
+        pytest.skip("lossless FFV1 writer unavailable")
+    for f in frames:
+        wr.write(f)
+    wr.release()
+
+    assert run_video(str(src), str(dst), 2.0, "xla", verbose=False) == 0
+    cap = cv2.VideoCapture(str(dst))
+    for f in frames:
+        ok, got = cap.read()
+        assert ok
+        want = np.asarray(upscale_bgr(f, 2.0, weights, kernel="xla"))
+        np.testing.assert_array_equal(got, want)
+    cap.release()
+
+
 def test_stream_synthetic_uses_float_floor_geometry(weights):
     # the MP/s denominator must follow scaled_size's float32-floor rule
     # (srcnn.cpp:573-575), not int(h*scale): at 30x30 x2.1 they differ

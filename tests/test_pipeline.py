@@ -87,6 +87,25 @@ def test_matches_oracle_on_arbitrary_size():
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
 
 
+@pytest.mark.parametrize("scale", [0.5, 0.75])
+def test_matches_oracle_downscale(scale):
+    # The reference accepts ANY scale > 0 (srcnn.cpp:359-370): scale < 1
+    # shrinks with the same INTER_CUBIC pre-pass (no anti-aliasing — OpenCV
+    # INTER_CUBIC semantics) and still runs the conv stack on the small Y.
+    # e2e parity vs the NumPy oracle, both through the pipeline and the CLI
+    # scale plumbing (upscale_bgr is exactly what cli.run calls).
+    from srcnn_cpp_tpu.oracle import pipeline_ref, scaled_size
+    from srcnn_cpp_tpu.pipeline import upscale_bgr
+
+    img = np.random.default_rng(13).integers(0, 256, (48, 70, 3),
+                                             dtype=np.uint8)
+    out = np.asarray(upscale_bgr(img, scale))
+    ref = pipeline_ref(img, scale)
+    ow, oh = scaled_size(70, 48, scale)
+    assert out.shape == (oh, ow, 3) == ref.shape
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
 def test_conv_image_normalization_matches_reference():
     """conv_image mirrors the reference harness's convImage cases
     (reference src/test.cpp:34-134)."""
