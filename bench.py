@@ -29,7 +29,13 @@ import numpy as np
 
 import os
 
-BASELINE_MPS = 0.0178  # reference binary, test.jpg x2, this host
+# reference-binary throughput on this host per scale (BASELINE_MEASURED.md:
+# test.jpg x2 = 0.0178; butterfly x1.5 = 0.0156 and x3 = 0.0240 are the
+# closest measured anchors for the non-x2 records — the binary's MP/s is
+# nearly resolution-independent)
+_BASELINE_MPS = {1.5: 0.0156, 2.0: 0.0178, 3.0: 0.0240}
+SCALE = float(os.environ.get("BENCH_SCALE", "2"))
+BASELINE_MPS = _BASELINE_MPS.get(SCALE, 0.0178)
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 # env overrides allow on-chip A/Bs without editing the file
@@ -71,7 +77,7 @@ def main() -> None:
         np.moveaxis(np.broadcast_to(frame, (BATCH,) + frame.shape), -1, 1))
     batch = jax.device_put(jnp.asarray(batch))
     h, w = frame.shape[:2]
-    ow, oh = scaled_size(w, h, 2.0)
+    ow, oh = scaled_size(w, h, SCALE)
 
     def step(x):
         return _upscale_planar_jit(x, weights, (oh, ow), KERNEL, RESIZE)
@@ -96,7 +102,7 @@ def main() -> None:
     dt = time.monotonic() - t0
     mps = BATCH * ITERS * (oh * ow) / 1e6 / dt
     print(json.dumps({
-        "metric": "x2_sr_throughput_1chip",
+        "metric": f"x{SCALE:g}_sr_throughput_1chip",
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_MPS, 1),

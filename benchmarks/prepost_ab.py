@@ -106,9 +106,11 @@ def main() -> None:
 
     if exp == "pre":
         ref = np.asarray(resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (OH, OW)))
-        tiles = [None, (16, 256), (32, 256), (32, 512),
-                 (32, 1024), (48, 512), (48, 1024), (64, 512), (64, 1024),
-                 (40, 1280), (16, 1920)]
+        # (tih, tiw) or (tih, tiw, "xla") for the out-of-kernel row
+        # interleave; None = production policy
+        tiles = [None, (32, 512), (32, 1024), (48, 1024), (64, 512),
+                 (64, 1024), (40, 1280), (32, 1024, "xla"),
+                 (64, 1024, "xla"), (48, 1024, "xla"), (64, 512, "xla")]
 
         def make(tile):
             return jax.jit(lambda v: pre_upscale_fused(v, (OH, OW))
@@ -120,7 +122,9 @@ def main() -> None:
                                                          _pre_statics)
 
             st = _pre_statics(OH, H, OW, W)
-            return _apply_fused_pre(v, OH, OW, st, tile=tile)
+            rowinter = tile[2] if len(tile) > 2 else "kernel"
+            return _apply_fused_pre(v, OH, OW, st, tile=tile[:2],
+                                    rowinter=rowinter)
     else:
         up = jnp.asarray(rng.integers(0, 256, (BATCH, 3, OH, OW),
                                       dtype=np.uint8))

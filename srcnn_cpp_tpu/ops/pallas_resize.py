@@ -60,13 +60,21 @@ __all__ = ["pre_upscale_fused"]
 
 def _kernel(bgr_ref, *refs, tih: int, tiw: int,
             svp: int, swp: int, pv: int, ph: int, vb, vc, hb, hc,
-            ablate: frozenset = frozenset()):
+            rowinter: str = "kernel", ablate: frozenset = frozenset()):
     """``ph`` (3, pv*tih, tiw) phase tiles from a (3, svp, swp) BGR slab.
 
     Output phase ``p`` holds output columns ``p, p+ph, p+2*ph, ...`` — the
     caller lane-interleaves the phase planes (a Mosaic ``tpu.reshape`` of
     an interleave into the lane axis is unsupported, so the interleave
     happens outside the kernel; it is a bandwidth-trivial u8 relayout).
+
+    ``rowinter`` picks where the pv VERTICAL phases interleave into output
+    rows: ``"kernel"`` does the stack+reshape relayout in-kernel (one
+    sublane interleave of the whole f32 tile); ``"xla"`` writes the phases
+    CONTIGUOUSLY (rows [q*tih, (q+1)*tih) of each tile block hold phase q)
+    and the caller de-interleaves outside — the round-4 preablate run
+    attributed ~15% of kernel time to the in-kernel relayout, while the
+    XLA-side u8 relayout fuses with the lane interleave it already does.
 
     ``ablate`` (profiling only, never set on the production path) skips
     named stages so their cost can be attributed on-chip by differencing:
@@ -147,7 +155,7 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
                           else jnp.clip(jnp.round(r2), 0.0, 255.0))
         if pv == 1:
             col = phases[0]
-        elif "inter" in ablate:
+        elif "inter" in ablate or rowinter == "xla":
             col = jnp.concatenate(phases, axis=1)
         else:
             col = jnp.stack(phases, axis=2).reshape(3, th, tiw)
@@ -159,13 +167,15 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
 
 @functools.partial(
     jax.jit, static_argnames=("tih", "tiw", "svp", "swp", "pv", "ph",
-                              "vb", "vc", "hb", "hc", "gh", "gw", "ablate"))
+                              "vb", "vc", "hb", "hc", "gh", "gw",
+                              "rowinter", "ablate"))
 def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
-                    gh, gw, ablate: frozenset = frozenset()):
+                    gh, gw, rowinter: str = "kernel",
+                    ablate: frozenset = frozenset()):
     nb = ypad.shape[0]
     body = functools.partial(
         _kernel, tih=tih, tiw=tiw, svp=svp, swp=swp, pv=pv, ph=ph,
-        vb=vb, vc=vc, hb=hb, hc=hc, ablate=ablate)
+        vb=vb, vc=vc, hb=hb, hc=hc, rowinter=rowinter, ablate=ablate)
     phase_planes = pl.pallas_call(
         body,
         grid=(nb, gh, gw),
@@ -181,10 +191,19 @@ def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
         ],
         interpret=jax.default_backend() == "cpu",
     )(ypad)
+    oh_pad, ow_col = gh * pv * tih, gw * tiw
+    if rowinter == "xla" and pv > 1 and not ablate:
+        # de-interleave the contiguous row phases per tile block: block
+        # rows [q*tih + r] hold output row [pv*r + q] — a u8 relayout XLA
+        # fuses with the lane interleave below
+        phase_planes = [
+            jnp.transpose(p.reshape(nb, 3, gh, pv, tih, ow_col),
+                          (0, 1, 2, 4, 3, 5)).reshape(
+                nb, 3, oh_pad, ow_col)
+            for p in phase_planes]
     if ph == 1:
         return phase_planes[0]
     # lane-interleave the phase planes (phase p owns output cols p::ph)
-    oh_pad, ow_col = gh * pv * tih, gw * tiw
     return jnp.stack(phase_planes, axis=-1).reshape(
         nb, 3, oh_pad, ow_col * ph)
 
@@ -220,19 +239,23 @@ def _pre_statics(oh: int, ih: int, ow: int, iw: int):
 
 
 def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
+                     cols_left: int = 0,
                      tile: tuple[int, int] | None = None,
+                     rowinter: str = "kernel",
                      ablate: frozenset = frozenset()):
     """Run the kernel over ``x [B, 3, rows, W]`` -> YCrCb ``[B, 3, oh, ow]``.
 
     ``rows_above`` rows of REAL vertical context sit above the first owned
     input row (a sharded caller passes halo rows there; the monolith
-    passes 0).  Everything the slab windows need beyond the provided rows
-    is edge-padded: ``top - rows_above`` rows above (replicate == the
-    reference clamp at a true edge; a sharded caller provides
-    ``rows_above == top`` so nothing is invented), plus alignment/
-    overshoot slack below and on both column sides.  Trailing slack
-    rows/cols are read by the last tiles' slabs but contribute only to
-    outputs that are cropped away.
+    passes 0).  ``cols_left`` is the column-axis counterpart (a
+    column-sharded caller passes its left halo width).  Everything the
+    slab windows need beyond the provided rows/cols is edge-padded:
+    ``top - rows_above`` rows above and ``left - cols_left`` cols on the
+    left (replicate == the reference clamp at a true edge; a sharded
+    caller provides the full ``top``/``left`` so nothing is invented),
+    plus alignment/overshoot slack below and on the right.  Trailing
+    slack rows/cols are read by the last tiles' slabs but contribute only
+    to outputs that are cropped away.
     """
     pv, top, ph, left, vb, vc, hb, hc = statics
     rows, iw = x.shape[-2:]
@@ -263,10 +286,12 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
     ypad = jnp.pad(
         x, ((0, 0), (0, 0),
             (top - rows_above, max(0, need_r - (top - rows_above) - rows)),
-            (left, max(0, need_c - left - iw))),
+            (left - cols_left,
+             max(0, need_c - (left - cols_left) - iw))),
         mode="edge")
     return _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
-                           gh, gw, ablate=ablate)[:, :, :oh, :ow]
+                           gh, gw, rowinter=rowinter,
+                           ablate=ablate)[:, :, :oh, :ow]
 
 
 def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):

@@ -365,18 +365,42 @@ def _halo_exchange_rows_asym(y, top: int, bot: int, axis_name: str = "row"):
     return jnp.concatenate([lead, y, tail], axis=-2)
 
 
-@partial(jax.jit, static_argnames=("out_hw", "mesh", "statics", "oh_loc",
-                                   "top", "bot", "batch_axis"))
-def _pre_fused_rows_call(x, out_hw, mesh, statics, oh_loc, top, bot,
-                         batch_axis):
-    spec = P(batch_axis, None, "row", None)
+def _halo_exchange_cols_asym(y, lft: int, rgt: int, axis_name: str = "col"):
+    """Asymmetric column halo: ``lft`` cols from the left neighbor, ``rgt``
+    from the right; replicate cols at the true image edges (the lane-axis
+    twin of :func:`_halo_exchange_rows_asym`)."""
+    assert lft >= 1 and rgt >= 1, (lft, rgt)
+    n = lax.axis_size(axis_name)
+    edge_l = jnp.repeat(y[..., :1], lft, axis=-1)
+    edge_r = jnp.repeat(y[..., -1:], rgt, axis=-1)
+    if n == 1:
+        return jnp.concatenate([edge_l, y, edge_r], axis=-1)
+    idx = lax.axis_index(axis_name)
+    right = [(i, i + 1) for i in range(n - 1)]
+    left = [(i + 1, i) for i in range(n - 1)]
+    recv_l = lax.ppermute(y[..., -lft:], axis_name, right)
+    recv_r = lax.ppermute(y[..., :rgt], axis_name, left)
+    lead = jnp.where(idx == 0, edge_l, recv_l)
+    tail = jnp.where(idx == n - 1, edge_r, recv_r)
+    return jnp.concatenate([lead, y, tail], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("mesh", "statics", "oh_loc", "ow_loc",
+                                   "top", "bot", "lft", "rgt", "batch_axis"))
+def _pre_fused_grid_call(x, mesh, statics, oh_loc, ow_loc, top, bot,
+                         lft, rgt, batch_axis):
+    """Sharded fused pre-pass: rows over ``row``, cols over ``col`` (when
+    ``lft`` is nonzero), one Pallas kernel per device block."""
+    spec = P(batch_axis, None, "row", "col" if lft else None)
 
     def fn(blk):
         from ..ops.pallas_resize import _apply_fused_pre
 
         ext = _halo_exchange_rows_asym(blk, top, bot)   # [b, 3, Hi+t+b, W]
-        return _apply_fused_pre(ext, oh_loc, out_hw[1], statics,
-                                rows_above=top)
+        if lft:
+            ext = _halo_exchange_cols_asym(ext, lft, rgt)
+        return _apply_fused_pre(ext, oh_loc, ow_loc, statics,
+                                rows_above=top, cols_left=lft)
 
     return shard_map(
         fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
@@ -387,7 +411,7 @@ def _pre_fused_rows_call(x, out_hw, mesh, statics, oh_loc, top, bot,
 
 
 def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
-    """Row-sharded fused color+bicubic pre-pass over a device mesh.
+    """Row- (and optionally column-) sharded fused bicubic pre-pass.
 
     Planar BGR u8 ``[B, 3, H, W]`` (or ``[3, H, W]``) -> upscaled YCrCb u8,
     batch over ``data`` and input/output rows over ``row`` — each device
@@ -399,6 +423,13 @@ def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
     pv divides the integer scale), so every device evaluates the same
     bitwise-periodic global phase plan at its own offset: the stitched
     plane is the monolithic kernel's output exactly.
+
+    On a 2-D ``(row, col)`` mesh, columns shard the same way: an
+    asymmetric LANE-axis ppermute halo (``left`` cols from the left
+    neighbor, ``max_htap - left`` from the right) and a per-device kernel
+    whose horizontal phase plan aligns because ``ph`` divides the local
+    output cols (round-4 implementation of the round-3 verdict item; the
+    S=1 plan gives ``ow == ph*iw``, so ``col | iw`` suffices).
 
     Returns None when no step-1 phase plan exists or the mesh does not
     divide the geometry (callers fall back to the GSPMD-sharded XLA
@@ -413,10 +444,10 @@ def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
     b, _, ih, iw = x.shape
     nrow = mesh.shape["row"]
     ndata = mesh.shape["data"]
-    if mesh.shape.get("col", 1) > 1:
-        return None                      # rows-only sharding (lane halos
-        # would need a column exchange; measured unnecessary — see 2-D A/B)
-    if ih % nrow or oh % nrow or oh < 8 * nrow or ow < 128:
+    ncol = mesh.shape.get("col", 1)
+    if ih % nrow or oh % nrow or oh < 8 * nrow or ow < 128 * ncol:
+        return None
+    if iw % ncol or ow % ncol:
         return None
     # batch shards over data only when it divides; replicated otherwise
     # (the single-frame 8K config runs on (data, row) meshes with B == 1)
@@ -424,20 +455,29 @@ def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
     statics = _pre_statics(oh, ih, ow, iw)
     if statics is None:
         return None
-    pv, top = statics[0], statics[1]
+    pv, top, ph, left = statics[0], statics[1], statics[2], statics[3]
     if (oh // nrow) % pv:
         return None
     max_vb = max(v for row in statics[4] for v in row)
     bot = max_vb - top
     if top < 1 or bot < 1 or max(top, bot) > ih // nrow:
         return None        # degenerate tap window / halo exceeds a block
-    sharding = NamedSharding(mesh, P(batch_axis, None, "row", None))
+    lft = rgt = 0
+    if ncol > 1:
+        if (ow // ncol) % ph or (ow // ncol) // ph != iw // ncol:
+            return None    # local phase misalignment / non-S=1 geometry
+        max_hb = max(v for row in statics[6] for v in row)
+        lft, rgt = left, max_hb - left
+        if lft < 1 or rgt < 1 or max(lft, rgt) > iw // ncol:
+            return None
+    sharding = NamedSharding(
+        mesh, P(batch_axis, None, "row", "col" if ncol > 1 else None))
     # traced callers (a jitted config step) use a constraint; eager callers
     # place the array directly
     xs = (lax.with_sharding_constraint(x, sharding)
           if isinstance(x, jax.core.Tracer) else jax.device_put(x, sharding))
-    out = _pre_fused_rows_call(xs, (oh, ow), mesh, statics, oh // nrow,
-                               top, bot, batch_axis)
+    out = _pre_fused_grid_call(xs, mesh, statics, oh // nrow, ow // ncol,
+                               top, bot, lft, rgt, batch_axis)
     return out[0] if squeeze else out
 
 

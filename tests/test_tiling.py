@@ -204,9 +204,35 @@ def test_pre_upscale_fused_rows_declines(weights, mesh24):
     # rows not divisible by the mesh row axis
     x2 = np.zeros((2, 3, 63, 160), dtype=np.uint8)
     assert pre_upscale_fused_rows(x2, (126, 320), mesh24) is None
-    # column-sharded meshes decline (rows-only composition)
+    # column-sharded: local blocks under the 128-lane kernel minimum
     mesh2d = make_mesh(data=1, row=2, col=4)
     assert pre_upscale_fused_rows(x, (128, 320), mesh2d) is None
+    # column-sharded: width not divisible by the col axis
+    x3 = np.zeros((2, 3, 64, 634), dtype=np.uint8)
+    assert pre_upscale_fused_rows(x3, (128, 1268), mesh2d) is None
+
+
+def test_pre_upscale_fused_2d_matches_monolith(weights):
+    # 2-D (row, col) mesh: per-device kernel with BOTH row and lane
+    # ppermute halos stitches to the monolithic kernel's plane (round-4
+    # column-halo support; formerly an undocumented rows-only waiver)
+    from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
+    from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+    from srcnn_cpp_tpu.parallel import make_mesh, pre_upscale_fused_rows
+
+    mesh2d = make_mesh(data=1, row=2, col=4)
+    rng = np.random.default_rng(8)
+    for s, iw in [(2, 256), (3, 192)]:
+        x = rng.integers(0, 256, (2, 3, 64, iw), dtype=np.uint8)
+        out_hw = (64 * s, iw * s)
+        got = pre_upscale_fused_rows(x, out_hw, mesh2d)
+        assert got is not None, (s, iw)
+        for ref in (pre_upscale_fused(x, out_hw),
+                    resize_bicubic_u8(bgr2ycrcb_u8_planar(x), out_hw)):
+            d = np.abs(np.asarray(got).astype(int)
+                       - np.asarray(ref).astype(int))
+            assert d.max() <= 1 and (d > 0).mean() < 1e-4, (s, iw, d.max())
 
 
 def test_merge_fused_rows_bit_equal(weights, mesh24):
