@@ -36,7 +36,10 @@ import os
 _BASELINE_MPS = {1.5: 0.0156, 2.0: 0.0178, 3.0: 0.0240}
 SCALE = float(os.environ.get("BENCH_SCALE", "2"))
 BASELINE_MPS = _BASELINE_MPS.get(SCALE, 0.0178)
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# batch 64 at x3 exceeds single-chip HBM (the x3 output planes alone are
+# ~0.9 GB plus resize intermediates — measured ResourceExhausted); halve
+# the default there, overridable as always
+BATCH = int(os.environ.get("BENCH_BATCH", "32" if SCALE >= 3 else "64"))
 ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 # env overrides allow on-chip A/Bs without editing the file
 KERNEL = os.environ.get("BENCH_KERNEL", "pallas")  # ops/pallas_srcnn.py

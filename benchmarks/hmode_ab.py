@@ -11,13 +11,13 @@ Usage:
 
 from __future__ import annotations
 
-import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _runner import compile_all, print_table, time_interleaved
 from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar, ycrcb2bgr_u8_planar
 from srcnn_cpp_tpu.ops.pallas_srcnn import srcnn_y_fused
 from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8, scaled_size
@@ -42,10 +42,9 @@ def main() -> None:
         return ycrcb2bgr_u8_planar(
             jnp.stack([y_sr, up[:, 1], up[:, 2]], axis=-3))
 
-    variants = {m: jax.jit(partial(pipe, hmode=m))
-                for m in ("dense", "phase")}
-
     def chain(fn, n):
+        # chained dispatches (data dependency) so the span measures
+        # sustained device throughput, not launch latency
         dep = jnp.zeros((), jnp.uint8)
         out = None
         for _ in range(n):
@@ -54,22 +53,22 @@ def main() -> None:
         np.asarray(dep)
         return out
 
-    outs = {}
-    for m, fn in variants.items():
-        outs[m] = np.asarray(chain(fn, 1))
-        print("compiled", m, flush=True)
+    variants = {m: jax.jit(partial(pipe, hmode=m))
+                for m in ("dense", "phase")}
+    fns, outs = compile_all(
+        {m: (lambda fn=fn: chain(fn, ITERS)) for m, fn in variants.items()})
+    # device-side equality, scalar fetch (bulk downloads ride a ~10-30
+    # MB/s tunnel and would dominate the harness wall clock)
+    maxdiff = jax.jit(lambda a, b: jnp.abs(
+        a.astype(jnp.int32) - b.astype(jnp.int32)).max())
     for m in ("phase",):
-        assert np.array_equal(outs["dense"], outs[m]), m
+        assert int(maxdiff(outs["dense"], outs[m])) == 0, m
 
-    best = {m: float("inf") for m in variants}
-    for rep in range(5):
-        for m, fn in variants.items():
-            t0 = time.monotonic()
-            chain(fn, ITERS)
-            best[m] = min(best[m], (time.monotonic() - t0) / ITERS)
-    mp = BATCH * oh * ow / 1e6
-    for m in variants:
-        print(f"{m:>6}: {best[m]*1e3:7.2f} ms  {mp/best[m]:7.1f} MP/s")
+    # each thunk runs ITERS chained dispatches: rescale to per-dispatch
+    best = {m: s / ITERS
+            for m, s in time_interleaved(fns, rounds=5, iters=1).items()}
+    print_table(f"[hmode] batch {BATCH} {W}x{H} -> x2, chained", best,
+                BATCH * oh * ow / 1e6)
 
 
 if __name__ == "__main__":

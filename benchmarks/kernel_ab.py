@@ -24,12 +24,12 @@ bit-checked against the experiment's anchor before timing.
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _runner import compile_all, print_table, time_interleaved
 from srcnn_cpp_tpu.ops.pallas_srcnn import _fused_call, _prep_weights
 from srcnn_cpp_tpu.runtime import enable_compilation_cache
 from srcnn_cpp_tpu.weights import load_weights
@@ -126,44 +126,28 @@ def main() -> None:
                 jnp.asarray, _prep_weights(weights, layout=lay))
     base = np.random.default_rng(0).integers(0, 256, (h, w), dtype=np.uint8)
 
-    fns, outs = {}, {}
-    for name, tag, th, tw, kw in cases:
+    def make(tag, th, tw, kw):
         y = jnp.asarray(_pad_plane(base, th, tw, halo))
-        fns[name] = (lambda y=y, pk=packs[tag], th=th, tw=tw, kw=kw:
-                     _fused_call(y, pk, th, tw, **kw))
-        try:
-            out = fns[name]()
-            np.asarray(out[:2, :2])   # compile + fence (relay-safe)
-        except Exception as e:  # VMEM spill etc.: drop, keep sweeping
-            print(f"compile FAILED {name}: {type(e).__name__}", flush=True)
-            fns.pop(name)
-            continue
-        outs[name] = out
-        print(f"compiled {name}", flush=True)
+        return (lambda y=y, pk=packs[tag], th=th, tw=tw, kw=kw:
+                _fused_call(y, pk, th, tw, **kw))
 
+    fns, outs = compile_all(
+        {name: make(tag, th, tw, kw) for name, tag, th, tw, kw in cases})
+
+    # device-side diff, scalar fetch only (a bulk np.asarray would pull
+    # ~66 MB/variant through the ~10-30 MB/s dev tunnel)
+    maxdiff = jax.jit(lambda a, b: jnp.abs(
+        a[:h, :w].astype(jnp.int32) - b[:h, :w].astype(jnp.int32)).max())
     anchor = next(iter(outs))
-    a = np.asarray(outs[anchor][:h, :w]).astype(int)
     for name, o in outs.items():
         if name == anchor:
             continue
-        d = np.abs(np.asarray(o[:h, :w]).astype(int) - a).max()
+        d = int(maxdiff(outs[anchor], o))
         # clamp/ablate variants legitimately differ at borders; report all
         print(f"bit-check {anchor} vs {name}: max LSB {d}", flush=True)
 
-    best = {n: float("inf") for n in fns}
-    for _ in range(5):
-        for name, fn in fns.items():
-            t0 = time.monotonic()
-            n = 4
-            for _ in range(n):
-                out = fn()
-            np.asarray(out[:2, :2])
-            best[name] = min(best[name], (time.monotonic() - t0) / n)
-
-    print(f"\n[{exp}] plane {w}x{h}, useful {mp:.1f} MP")
-    print(f"{'variant':>18}  {'ms':>8}  {'MP/s':>8}")
-    for name in fns:
-        print(f"{name:>18}  {best[name] * 1e3:8.2f}  {mp / best[name]:8.1f}")
+    best = time_interleaved(fns, rounds=5, iters=4)
+    print_table(f"[{exp}] plane {w}x{h}, useful {mp:.1f} MP", best, mp)
 
 
 if __name__ == "__main__":

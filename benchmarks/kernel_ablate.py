@@ -19,12 +19,12 @@ item 1 asked for stage shares at exactly this geometry.
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _runner import compile_all, print_table, time_interleaved
 from srcnn_cpp_tpu.ops.pallas_srcnn import _fused_call, _pick_tiles, _prep_weights
 from srcnn_cpp_tpu.runtime import enable_compilation_cache
 from srcnn_cpp_tpu.weights import load_weights
@@ -62,28 +62,13 @@ def main() -> None:
         0, 256, (hp + 16, wp + 128), dtype=np.uint8)
     yd = jnp.asarray(y)
 
-    fns = {}
-    for name, flags in VARIANTS:
-        fns[name] = (lambda flags=flags:
-                     _fused_call(yd, packed, th, tw, flags, **kw))
-        out = fns[name]()
-        np.asarray(out[:2, :2])  # compile + fence (relay-safe)
-        print(f"compiled {name}", flush=True)
-
-    best = {name: float("inf") for name, _ in VARIANTS}
-    for rep in range(4):
-        for name, _ in VARIANTS:
-            t0 = time.monotonic()
-            n = 6
-            for _ in range(n):
-                out = fns[name]()
-            np.asarray(out[:2, :2])
-            best[name] = min(best[name], (time.monotonic() - t0) / n)
-
-    print(f"\n[{mode}] tile ({th},{tw})  plane {w}x{h}  useful {mp:.1f} MP")
-    print(f"{'variant':>16}  {'ms':>8}  {'MP/s':>8}")
-    for name, _ in VARIANTS:
-        print(f"{name:>16}  {best[name]*1e3:8.2f}  {mp/best[name]:8.1f}")
+    fns, _ = compile_all({
+        name: (lambda flags=flags: _fused_call(yd, packed, th, tw, flags,
+                                               **kw))
+        for name, flags in VARIANTS})
+    best = time_interleaved(fns, rounds=4, iters=6)
+    print_table(f"[{mode}] tile ({th},{tw})  plane {w}x{h}"
+                f"  useful {mp:.1f} MP", best, mp)
     print("\ndifferenced stage costs (ms):")
     print(f"  stencil       : {1e3*(best['full'] - best['no-stencil']):7.2f}")
     print(f"  conv3 matmuls : {1e3*(best['no-stencil'] - best['conv1+2']):7.2f}")

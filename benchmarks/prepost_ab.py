@@ -8,21 +8,21 @@
 Sweeps the (tih, tiw) / (th, tw) tile policies of
 ``ops/pallas_resize._apply_fused_pre`` and
 ``ops/pallas_merge.merge_ycrcb_to_bgr_fused`` at the bench geometry
-(batch-32 960x540 -> x2).  Methodology matches kernel_ab.py: interleaved
-best-of-N in one process, completion fenced with a tiny host fetch,
-compile failures tolerated per variant, every variant bit-checked against
-the XLA engine before timing.
+(batch-32 960x540 -> x2).  Methodology: benchmarks/_runner.py (interleaved
+best-of-N in one process, tiny-fetch fences, per-variant compile-failure
+tolerance), plus a bit-check of every non-ablate variant against the XLA
+engine before timing.
 """
 
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _runner import compile_all, print_table, time_interleaved
 from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar, ycrcb2bgr_u8_planar
 from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
 from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
@@ -44,12 +44,20 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 256, (BATCH, 3, H, W), dtype=np.uint8))
     mp = BATCH * OH * OW / 1e6
+    title = f"[{exp}] batch {BATCH} {W}x{H} -> {OW}x{OH}, {mp:.1f} MP"
+
+    # NOTE on the bit-checks: the diff is computed ON DEVICE and only the
+    # scalar max is fetched — np.asarray(out) would pull ~200 MB per
+    # variant through the ~10-30 MB/s dev tunnel and dominate the harness
+    # wall clock (round-4 lesson: three sweep runs timed out on downloads).
+    maxdiff = jax.jit(lambda a, b: jnp.abs(
+        a.astype(jnp.int32) - b.astype(jnp.int32)).max())
 
     if exp == "preablate":
         # cumulative stage knockout (each adds one skipped stage); the
         # differenced table attributes the kernel's time by stage.  Only
         # "full" is bit-checked (the others compute wrong values by design).
-        ref = np.asarray(resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (OH, OW)))
+        ref = resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (OH, OW))
         steps = [("full", frozenset()),
                  ("-inter", frozenset({"inter"})),
                  ("-round", frozenset({"inter", "round"})),
@@ -58,45 +66,26 @@ def main() -> None:
                  ("-color", frozenset({"inter", "round", "v", "h",
                                        "color"}))]
 
-        def make(step):
+        def make(flags):
             from srcnn_cpp_tpu.ops.pallas_resize import (_apply_fused_pre,
                                                          _pre_statics)
 
             st = _pre_statics(OH, H, OW, W)
-            return jax.jit(lambda v: _apply_fused_pre(
-                v, OH, OW, st, ablate=step[1]))
+            fn = jax.jit(lambda v: _apply_fused_pre(v, OH, OW, st,
+                                                    ablate=flags))
+            return lambda: fn(x)
 
-        fns, first = {}, {}
-        for step in steps:
-            fn = make(step)
-            out = fn(x)
-            if step[0] == "full":
-                d = int(np.abs(np.asarray(out).astype(int)
-                               - ref.astype(int)).max())
+        def check(name, out):
+            if name == "full":
+                d = int(maxdiff(out, ref))
                 print(f"compiled full: max LSB vs engine {d}", flush=True)
-                first[step[0]] = d
             else:
-                np.asarray(out[0, 0, :2, :2])
-                print(f"compiled {step[0]}", flush=True)
-                first[step[0]] = -1
-            fns[step[0]] = fn
+                print(f"compiled {name}", flush=True)
 
-        best = {n: float("inf") for n in fns}
-        for _ in range(5):
-            for name, fn in fns.items():
-                t0 = time.monotonic()
-                out = None
-                for _ in range(4):
-                    out = fn(x)
-                np.asarray(out[0, 0, :2, :2])
-                best[name] = min(best[name], (time.monotonic() - t0) / 4)
-
-        print(f"\n[preablate] batch {BATCH} {W}x{H} -> {OW}x{OH}, "
-              f"{mp:.1f} MP")
-        print(f"{'variant':>8}  {'ms':>8}  {'MP/s':>8}")
-        for name in fns:
-            print(f"{name:>8}  {best[name] * 1e3:8.2f}  "
-                  f"{mp / best[name]:8.1f}")
+        fns, _ = compile_all({n: make(f) for n, f in steps},
+                             check=check, on_fail="raise")
+        best = time_interleaved(fns, rounds=5, iters=4)
+        print_table(title, best, mp)
         print("\ndifferenced stage costs (ms):")
         names = [s[0] for s in steps]
         for a, b in zip(names, names[1:]):
@@ -105,71 +94,52 @@ def main() -> None:
         return
 
     if exp == "pre":
-        ref = np.asarray(resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (OH, OW)))
+        ref = resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (OH, OW))
         # (tih, tiw) or (tih, tiw, "xla") for the out-of-kernel row
-        # interleave; None = production policy
-        tiles = [None, (32, 512), (32, 1024), (48, 1024), (64, 512),
-                 (64, 1024), (40, 1280), (32, 1024, "xla"),
-                 (64, 1024, "xla"), (48, 1024, "xla"), (64, 512, "xla")]
+        # interleave; None = production policy.  Keep the list short —
+        # each fresh variant costs a ~90 s remote compile and the harness
+        # must finish inside one driver timeout (cached variants are free).
+        tiles = [None, (32, 1024), (48, 1024), (64, 1024),
+                 (32, 1024, "xla"), (64, 1024, "xla")]
 
         def make(tile):
-            return jax.jit(lambda v: pre_upscale_fused(v, (OH, OW))
-                           if tile is None
-                           else _pre_tile(v, tile))
+            def _pre_tile(v):
+                from srcnn_cpp_tpu.ops.pallas_resize import (
+                    _apply_fused_pre, _pre_statics)
 
-        def _pre_tile(v, tile):
-            from srcnn_cpp_tpu.ops.pallas_resize import (_apply_fused_pre,
-                                                         _pre_statics)
+                st = _pre_statics(OH, H, OW, W)
+                rowinter = tile[2] if len(tile) > 2 else "kernel"
+                return _apply_fused_pre(v, OH, OW, st, tile=tile[:2],
+                                        rowinter=rowinter)
 
-            st = _pre_statics(OH, H, OW, W)
-            rowinter = tile[2] if len(tile) > 2 else "kernel"
-            return _apply_fused_pre(v, OH, OW, st, tile=tile[:2],
-                                    rowinter=rowinter)
+            fn = jax.jit(lambda v: pre_upscale_fused(v, (OH, OW))
+                         if tile is None else _pre_tile(v))
+            return lambda: fn(x)
     else:
         up = jnp.asarray(rng.integers(0, 256, (BATCH, 3, OH, OW),
                                       dtype=np.uint8))
         y_sr = jnp.asarray(rng.integers(0, 256, (BATCH, OH, OW),
                                         dtype=np.uint8))
-        ref = np.asarray(ycrcb2bgr_u8_planar(jnp.stack(
-            [y_sr, up[:, 1], up[:, 2]], axis=-3)))
-        tiles = [None, (8, 1920), (16, 1920), (32, 1920), (64, 1920),
-                 (128, 1920), (16, 640), (64, 640), (8, 128)]
+        ref = ycrcb2bgr_u8_planar(jnp.stack(
+            [y_sr, up[:, 1], up[:, 2]], axis=-3))
+        tiles = [None, (64, 1920), (128, 1920), (192, 1920), (256, 1920),
+                 (344, 1920)]
 
         def make(tile):
-            return jax.jit(lambda v: merge_ycrcb_to_bgr_fused(
+            fn = jax.jit(lambda v: merge_ycrcb_to_bgr_fused(
                 y_sr, v, tile=tile))
-        x = up  # the timed argument
+            return lambda: fn(up)
 
-    fns, first = {}, {}
-    for tile in tiles:
-        name = "policy" if tile is None else f"{tile[0]}x{tile[1]}"
-        fn = make(tile)
-        try:
-            out = fn(x)
-            got = np.asarray(out)
-        except Exception as e:   # VMEM spill / compile failure: skip
-            print(f"compile FAILED {name}: {type(e).__name__}", flush=True)
-            continue
-        d = int(np.abs(got.astype(int) - ref.astype(int)).max())
+    def check(name, out):
+        d = int(maxdiff(out, ref))
         print(f"compiled {name}: max LSB vs engine {d}", flush=True)
-        fns[name] = fn
-        first[name] = d
+        assert d <= 1, (name, d)
 
-    best = {n: float("inf") for n in fns}
-    for _ in range(5):
-        for name, fn in fns.items():
-            t0 = time.monotonic()
-            out = None
-            for _ in range(4):
-                out = fn(x)
-            np.asarray(out[0, 0, :2, :2])
-            best[name] = min(best[name], (time.monotonic() - t0) / 4)
-
-    print(f"\n[{exp}] batch {BATCH} {W}x{H} -> {OW}x{OH}, {mp:.1f} MP")
-    print(f"{'variant':>12}  {'ms':>8}  {'MP/s':>8}  {'lsb':>4}")
-    for name in fns:
-        print(f"{name:>12}  {best[name] * 1e3:8.2f}  {mp / best[name]:8.1f}"
-              f"  {first[name]:4d}")
+    cases = {("policy" if t is None else "x".join(str(v) for v in t)):
+             make(t) for t in tiles}
+    fns, _ = compile_all(cases, check=check)
+    best = time_interleaved(fns, rounds=5, iters=4)
+    print_table(title, best, mp)
 
 
 if __name__ == "__main__":

@@ -38,17 +38,28 @@ __all__ = ["merge_ycrcb_to_bgr_fused"]
 
 
 def _kernel(y_ref, up_ref, out_ref):
-    """One (3, th, tw) BGR tile from Y' (th, tw) and up-YCrCb (3, th, tw)."""
+    """One (3, th, tw) BGR tile from Y' (th, tw) and up-YCrCb (3, th, tw).
+
+    Channels are computed and written one at a time (instead of a stacked
+    3-plane store): only ~4 f32 planes are ever live, which lets the tile
+    policy grow rows ~2x before VMEM pressure — fewer grid steps matter
+    because the post-pass is per-tile-overhead-bound, not VPU-bound
+    (round-4 preablate methodology; same finding as the pre-pass).
+    Bit-identical: the per-element op sequence is unchanged.
+    """
     y = y_ref[0].astype(jnp.int32).astype(jnp.float32)
     cr = up_ref[0, 1].astype(jnp.int32).astype(jnp.float32) - 128.0
     cb = up_ref[0, 2].astype(jnp.int32).astype(jnp.float32) - 128.0
-    b = y + _descale_f32(cb * _CB2B)
-    g = y + _descale_f32(cb * _CB2G + cr * _CR2G)
-    r = y + _descale_f32(cr * _CR2R)
-    out = jnp.clip(jnp.stack([b, g, r], axis=0), 0.0, 255.0)
-    # Mosaic has no direct f32->u8 cast; truncate via i32 (identical to
-    # the XLA engine's f32->u8 truncation for clipped non-negative values)
-    out_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
+
+    def store(c, plane):
+        # Mosaic has no direct f32->u8 cast; truncate via i32 (identical
+        # to the XLA engine's truncation for clipped non-negative values)
+        out_ref[0, c] = jnp.clip(plane, 0.0, 255.0) \
+            .astype(jnp.int32).astype(jnp.uint8)
+
+    store(0, y + _descale_f32(cb * _CB2B))
+    store(1, y + _descale_f32(cb * _CB2G + cr * _CR2G))
+    store(2, y + _descale_f32(cr * _CR2R))
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw"))

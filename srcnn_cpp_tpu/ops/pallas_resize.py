@@ -241,7 +241,7 @@ def _pre_statics(oh: int, ih: int, ow: int, iw: int):
 def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
                      cols_left: int = 0,
                      tile: tuple[int, int] | None = None,
-                     rowinter: str = "kernel",
+                     rowinter: str = "xla",
                      ablate: frozenset = frozenset()):
     """Run the kernel over ``x [B, 3, rows, W]`` -> YCrCb ``[B, 3, oh, ow]``.
 
@@ -265,12 +265,14 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
     if tile is not None:
         tih, tiw = tile
     else:
-        # round-3 on-chip sweep (benchmarks/prepost_ab.py, KERNEL_NOTES
-        # 3e): wide tiles win — 32x1024 13.27 ms vs 32x256 14.04 ms at
-        # the bench geometry (the kernel is VPU-bound; wider tiles cut
-        # per-tile slab-halo and loop overhead)
+        # round-4 on-chip sweep (benchmarks/prepost_ab.py, KERNEL_NOTES
+        # 4c): tiw must round UP so a phase's full width rides ONE block
+        # when it fits — the round-3 policy's round-DOWN split 960 cols
+        # into a full block plus a 64-useful-col runt and cost ~30%
+        # (16.93 vs 12.96 ms at the bench geometry).  Taller tiles
+        # measured flat (32/48/64 x 1024 within 0.5%), so tih stays 32.
         tih = max(8, min(32, (oh // pv) // 8 * 8))
-        tiw = max(128, min(1024, (ow // ph) // 128 * 128))
+        tiw = max(128, min(1024, -(-(ow // ph) // 128) * 128))
     gh = -(-oh // (pv * tih))
     gw = -(-ow // (ph * tiw))
     max_vb = max(v for row in vb for v in row)
