@@ -14,6 +14,8 @@ Experiments:
     layout    per-stage matmul-structure candidates (c1m/c1two/c2dots/
               c3dots, see _prep_weights) at the production packed geometry
               (add "4k" for the 8x4K packing)
+    quant     in-kernel u8 quantization vs the f32-out + XLA quantize pass
+              at the production packed geometry
 
 Methodology (axon relay): interleaved best-of-N per variant in one
 process (shared chip, +-2x run-to-run variance), completion fenced with a
@@ -64,6 +66,15 @@ def _experiment(name: str):
                  for th, tw, rpb in [(64, 3712, 1), (72, 3712, 1),
                                      (80, 3712, 1), (64, 1856, 2),
                                      (32, 3712, 1), (64, 2560, 1)]]
+        return (h, wc), True, b * h * w / 1e6, cases
+    if name == "quant":
+        b, h, w = (8, H4K, W4K) if "4k" in sys.argv[2:] else (32, 1080, 1920)
+        wc = b * (w + 8)
+        th = 80 if "4k" in sys.argv[2:] else 72
+        cases = [("quant-kernel", "new", th, 3712,
+                  dict(true_h=h, quant=True)),
+                 ("quant-xla", "new", th, 3712,
+                  dict(true_h=h, quant=False))]
         return (h, wc), True, b * h * w / 1e6, cases
     if name == "layout":
         b, h, w = (8, H4K, W4K) if "4k" in sys.argv[2:] else (32, 1080, 1920)

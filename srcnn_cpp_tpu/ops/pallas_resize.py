@@ -36,9 +36,15 @@ Mosaic contracts f32 mul+add, and the engine itself is verified bit-exact
 vs OpenCV on chip (EVAL.md); the on-chip gate for this kernel is
 bit-identity (tests/test_tpu.py).
 
-Scope: geometries where both phase plans exist with source step 1 —
-i.e. integer upscales (x2 is every BASELINE config).  The wrapper
-returns None otherwise and the caller falls back to the XLA engines.
+Scope: geometries whose TAP INDICES are step-1 periodic on both axes —
+i.e. integer upscales (x2 is every BASELINE config).  Coefficients may
+either repeat bitwise (strict plan: static scalars) or vary per output
+row/column (generalized plan: blocked coefficient-plane inputs) — the
+latter covers non-power-of-2 integer upscales past output 1536, where
+OpenCV's float32 fractional offsets stop repeating bitwise (found via
+the round-4 x3 bench: 540p x3 silently fell back to the XLA engines).
+The wrapper returns None for fractional scales and the caller falls
+back to the XLA engines.
 """
 
 from __future__ import annotations
@@ -53,7 +59,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .color import _B2Y, _CB2G, _CB2B, _CR2G, _CR2R, _DELTA, _G2Y, _R2CR, \
     _B2CB, _R2Y, _descale_f32
-from .resize import _hphase_plan, _vphase_plan
+from .resize import _hphase_plan, _phase_idx_plan, _vphase_plan
+from .resize_tables import cv_cubic_tables
 
 __all__ = ["pre_upscale_fused"]
 
@@ -67,6 +74,14 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
     caller lane-interleaves the phase planes (a Mosaic ``tpu.reshape`` of
     an interleave into the lane axis is unsupported, so the interleave
     happens outside the kernel; it is a bandwidth-trivial u8 relayout).
+
+    ``vc``/``hc`` may be ``None`` (GENERALIZED plan, non-power-of-2 integer
+    upscales past the float32 boundary — ops/resize._phase_idx_plan): the
+    per-output-row/-column coefficient blocks then arrive as extra refs
+    ahead of the outputs (vcf (pv, 4, tih, 1), hcf (ph, 4, 1, tiw),
+    block-pipelined by index) and broadcast into the same mul/add chains —
+    identical values in the identical order, so still bit-exact vs the
+    engine's gather form.
 
     ``rowinter`` picks where the pv VERTICAL phases interleave into output
     rows: ``"kernel"`` does the stack+reshape relayout in-kernel (one
@@ -82,6 +97,10 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
     same-shape slice, "round" skips round+clip, "inter" replaces the
     vertical-phase interleave with a plain concat (same bytes, contiguous).
     """
+    if vc is None:
+        vcf_ref, refs = refs[0], refs[1:]
+    if hc is None:
+        hcf_ref, refs = refs[0], refs[1:]
     out_refs, (slab, dma_sem) = refs[:ph], refs[ph:]
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     gh, gw = pl.num_programs(1), pl.num_programs(2)
@@ -131,16 +150,24 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
         ycc = jnp.clip(jnp.stack([y, cr, cb], axis=0), 0.0, 255.0)
 
     th = pv * tih
+    # scalar coefficients when the strict plan holds; per-output-column
+    # (1, tiw) / per-output-row (tih, 1) broadcasts from the blocked
+    # coefficient refs under the generalized plan — same values, same op
+    # order either way
+    hcoef = ((lambda p, k: jnp.float32(hc[p][k])) if hc is not None
+             else (lambda p, k: hcf_ref[p, k]))
+    vcoef = ((lambda q, k: vc[q][k]) if vc is not None
+             else (lambda q, k: vcf_ref[q, k]))
     for p in range(ph):
         if "h" in ablate:
             rp = ycc[:, :, 0:tiw]
         else:
             # horizontal phase p: 4 contiguous lane slices x int
             # coefficients (exact integer sums in f32, hplan branch)
-            rp = ycc[:, :, hb[p][3]: hb[p][3] + tiw] * jnp.float32(hc[p][3])
+            rp = ycc[:, :, hb[p][3]: hb[p][3] + tiw] * hcoef(p, 3)
             for k in (2, 1, 0):
                 rp = ycc[:, :, hb[p][k]: hb[p][k] + tiw] \
-                    * jnp.float32(hc[p][k]) + rp          # [3, svp, tiw]
+                    * hcoef(p, k) + rp                    # [3, svp, tiw]
         phases = []
         for q in range(pv):
             if "v" in ablate:
@@ -148,9 +175,10 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
             else:
                 # vertical phase q: OpenCV's right-to-left separate
                 # mul/add roundings — identical ops as ops/resize._vpass
-                r2 = rp[:, vb[q][3]: vb[q][3] + tih, :] * vc[q][3]
+                r2 = rp[:, vb[q][3]: vb[q][3] + tih, :] * vcoef(q, 3)
                 for k in (2, 1, 0):
-                    r2 = rp[:, vb[q][k]: vb[q][k] + tih, :] * vc[q][k] + r2
+                    r2 = rp[:, vb[q][k]: vb[q][k] + tih, :] * vcoef(q, k) \
+                        + r2
             phases.append(r2 if "round" in ablate
                           else jnp.clip(jnp.round(r2), 0.0, 255.0))
         if pv == 1:
@@ -171,15 +199,27 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
                               "rowinter", "ablate"))
 def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
                     gh, gw, rowinter: str = "kernel",
-                    ablate: frozenset = frozenset()):
+                    ablate: frozenset = frozenset(),
+                    vcf=None, hcf=None):
     nb = ypad.shape[0]
     body = functools.partial(
         _kernel, tih=tih, tiw=tiw, svp=svp, swp=swp, pv=pv, ph=ph,
         vb=vb, vc=vc, hb=hb, hc=hc, rowinter=rowinter, ablate=ablate)
+    # generalized-plan coefficient planes ride blocked in_specs: each grid
+    # step sees only its (pv, 4, tih, 1) row / (ph, 4, 1, tiw) col block
+    coef_specs, coef_args = [], []
+    if vc is None:
+        coef_specs.append(pl.BlockSpec((pv, 4, tih, 1),
+                                       lambda b, i, j: (0, 0, i, 0)))
+        coef_args.append(vcf)
+    if hc is None:
+        coef_specs.append(pl.BlockSpec((ph, 4, 1, tiw),
+                                       lambda b, i, j: (0, 0, 0, j)))
+        coef_args.append(hcf)
     phase_planes = pl.pallas_call(
         body,
         grid=(nb, gh, gw),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), *coef_specs],
         out_specs=[pl.BlockSpec(
             (1, 3, pv * tih, tiw), lambda b, i, j: (b, 0, i, j),
             memory_space=pltpu.VMEM)] * ph,
@@ -190,7 +230,7 @@ def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(ypad)
+    )(ypad, *coef_args)
     oh_pad, ow_col = gh * pv * tih, gw * tiw
     if rowinter == "xla" and pv > 1 and not ablate:
         # de-interleave the contiguous row phases per tile block: block
@@ -217,15 +257,17 @@ def _plan_static(plan_bases, plan_coefs):
 
 
 def _pre_statics(oh: int, ih: int, ow: int, iw: int):
-    """Static phase tables for the fused pre-pass, or None.
+    """STRICT static phase tables for the fused pre-pass, or None.
 
-    ``None`` when the geometry has no step-1 phase plan on either axis
-    (callers fall back to the XLA engines).  The tables are hashable so
-    they ride jit static args; they are GLOBAL-geometry tables — a
-    row-sharded caller may reuse them per local block because the plans
-    are bitwise-periodic and the local phase aligns whenever each
-    device's output rows are a multiple of ``pv`` (see
-    parallel/tiling.pre_upscale_fused_rows).
+    ``None`` when the geometry has no bitwise step-1 phase plan on either
+    axis.  The tables are hashable so they ride jit static args; they are
+    GLOBAL-geometry tables — a row-sharded caller may reuse them per local
+    block because the plans are bitwise-periodic and the local phase
+    aligns whenever each device's output rows are a multiple of ``pv``
+    (see parallel/tiling.pre_upscale_fused_rows).  Sharded callers
+    REQUIRE this strict form (per-device coefficient offsets would
+    otherwise be needed); the monolithic wrapper also accepts the
+    generalized form below.
     """
     vplan = _vphase_plan(oh, ih)
     hplan = _hphase_plan(ow, iw)
@@ -238,11 +280,69 @@ def _pre_statics(oh: int, ih: int, ow: int, iw: int):
     return pv, top, ph, left, vb, vc, hb, hc
 
 
+def _phase_coefs(tbl: np.ndarray, P: int) -> np.ndarray:
+    """Per-phase coefficient planes: (dst, 4) -> (P, 4, ceil(dst/P))."""
+    n = -(-tbl.shape[0] // P)
+    out = np.zeros((P, 4, n), np.float32)
+    for p in range(P):
+        rows = tbl[p::P].astype(np.float32)
+        out[p, :, :rows.shape[0]] = rows.T
+    return out
+
+
+def _pre_plans(oh: int, ih: int, ow: int, iw: int):
+    """Strict-or-generalized plan: ``(statics, vcf, hcf)`` or 3x None.
+
+    Strict plans (bitwise-periodic coefficients) come back with
+    ``vcf``/``hcf`` None and scalar coefficients inside ``statics``.  When
+    only the INDICES are periodic (non-power-of-2 integer upscales past
+    output 1536, where OpenCV's float32 fractional offsets stop repeating
+    bitwise — ops/resize._phase_idx_plan), that axis's ``vc``/``hc``
+    static is None and the full per-output coefficient table is returned
+    as a (P, 4, n) float32 plane instead, fed to the kernel as a blocked
+    input.  Numerics are identical either way: same coefficient values in
+    the same chain order as the engine's gather form.
+    """
+    st = _pre_statics(oh, ih, ow, iw)
+    if st is not None:
+        return st, None, None
+    vplan = _vphase_plan(oh, ih)
+    if vplan is not None and vplan[1] == 1:
+        pv, _, top, _, vb_l, vc_l = vplan
+        vb, vc = _plan_static(vb_l, vc_l)
+        vcf = None
+    else:
+        g = _phase_idx_plan(oh, ih)
+        if g is None:
+            return None, None, None
+        pv, top, _, vb_l = g
+        vb = tuple(tuple(int(v) for v in row) for row in vb_l)
+        vc = None
+        _, _, yfc = cv_cubic_tables(oh, ih)
+        vcf = _phase_coefs(np.asarray(yfc), pv)
+    hplan = _hphase_plan(ow, iw)
+    if hplan is not None:
+        ph, left, _, hb_l, hc_l = hplan
+        hb, hc = _plan_static(hb_l, hc_l)
+        hcf = None
+    else:
+        g = _phase_idx_plan(ow, iw)
+        if g is None:
+            return None, None, None
+        ph, left, _, hb_l = g
+        hb = tuple(tuple(int(v) for v in row) for row in hb_l)
+        hc = None
+        _, xic, _ = cv_cubic_tables(ow, iw)
+        hcf = _phase_coefs(np.asarray(xic), ph)
+    return (pv, top, ph, left, vb, vc, hb, hc), vcf, hcf
+
+
 def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
                      cols_left: int = 0,
                      tile: tuple[int, int] | None = None,
                      rowinter: str = "xla",
-                     ablate: frozenset = frozenset()):
+                     ablate: frozenset = frozenset(),
+                     vcf=None, hcf=None):
     """Run the kernel over ``x [B, 3, rows, W]`` -> YCrCb ``[B, 3, oh, ow]``.
 
     ``rows_above`` rows of REAL vertical context sit above the first owned
@@ -291,9 +391,22 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
             (left - cols_left,
              max(0, need_c - (left - cols_left) - iw))),
         mode="edge")
+    # generalized-plan coefficient planes: pad to the grid extent so the
+    # blocked in_specs tile them exactly (padding feeds only cropped rows/
+    # cols); tiny f32 constants embedded at trace time
+    vcf_j = hcf_j = None
+    if vc is None:
+        v = np.zeros((pv, 4, gh * tih, 1), np.float32)
+        v[:, :, :vcf.shape[2], 0] = vcf
+        vcf_j = jnp.asarray(v)
+    if hc is None:
+        hcol = np.zeros((ph, 4, 1, gw * tiw), np.float32)
+        hcol[:, :, 0, :hcf.shape[2]] = hcf
+        hcf_j = jnp.asarray(hcol)
     return _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
                            gh, gw, rowinter=rowinter,
-                           ablate=ablate)[:, :, :oh, :ow]
+                           ablate=ablate, vcf=vcf_j,
+                           hcf=hcf_j)[:, :, :oh, :ow]
 
 
 def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):
@@ -308,10 +421,10 @@ def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):
     ih, iw = bgr_p.shape[-2:]
     if oh < 8 or ow < 128:
         return None                      # tiny planes: not worth a kernel
-    statics = _pre_statics(oh, ih, ow, iw)
+    statics, vcf, hcf = _pre_plans(oh, ih, ow, iw)
     if statics is None:
         return None
     squeeze = bgr_p.ndim == 3
     x = bgr_p[None] if squeeze else bgr_p
-    out = _apply_fused_pre(x, oh, ow, statics)
+    out = _apply_fused_pre(x, oh, ow, statics, vcf=vcf, hcf=hcf)
     return out[0] if squeeze else out

@@ -258,7 +258,8 @@ def _row_clamp_plan(h: int, th: int):
 def _kernel_stacked(y_ref, *refs,
                     th: int, tw: int, ablate: frozenset = frozenset(),
                     gw: int = 0, total: int = 0, true_h: int = 0,
-                    rpb: int = 1, layout: frozenset = frozenset()):
+                    rpb: int = 1, layout: frozenset = frozenset(),
+                    quant: bool = False):
     """K-stacked-matmul variant: one dot per stage per feature row.
 
     Every stage's split-precision products ride the K axis of a single dot
@@ -283,7 +284,15 @@ def _kernel_stacked(y_ref, *refs,
     w1refs = refs[:n1]
     w2refs = refs[n1:n1 + n2]
     w3refs = refs[n1 + n2:n1 + n2 + n3]
-    b1_ref, b2_ref, out_ref, slab, cc, dma_sem = refs[n1 + n2 + n3:]
+    if quant:
+        # in-kernel final quantization: accumulate in an f32 scratch, add
+        # the conv3 bias, clip+truncate and store u8 — the separate XLA
+        # quantize pass cost a full f32 plane HBM round-trip (~9 B/px)
+        (b1_ref, b2_ref, b3_ref, out_ref, slab, cc, acc,
+         dma_sem) = refs[n1 + n2 + n3:]
+    else:
+        b1_ref, b2_ref, out_ref, slab, cc, dma_sem = refs[n1 + n2 + n3:]
+        acc = out_ref
     th4, tw4 = th + 4, tw + 4
     s_rows = th + 16
     i, j = pl.program_id(0), pl.program_id(1)
@@ -342,7 +351,7 @@ def _kernel_stacked(y_ref, *refs,
     split = _split_vmem
     single_rp = "c1m" in layout or "c1two" in layout  # (96, tw4) operand
 
-    out_ref[...] = jnp.zeros((th, tw), jnp.float32)
+    acc[...] = jnp.zeros((th, tw), jnp.float32)
 
     # ``rpb`` feature rows per iteration, lane-concatenated: the dots see
     # N = rpb*tw4 (identical per-column results — bit-exact) and every
@@ -376,7 +385,7 @@ def _kernel_stacked(y_ref, *refs,
             f1 = jnp.maximum(dot(w1[0], rp) + b1, 0.0)  # (64, nr*tw4) f32
         if "conv2" in ablate:
             if rf0 < th:
-                out_ref[rf0:rf0 + 1, :] += f1[0:1, 0:tw]
+                acc[rf0:rf0 + 1, :] += f1[0:1, 0:tw]
             continue
         f1h, f1l = split(f1)
         if "c2dots" in layout:
@@ -389,7 +398,7 @@ def _kernel_stacked(y_ref, *refs,
                 0.0)                                   # (32, nr*tw4) f32
         if "conv3" in ablate:
             if rf0 < th:
-                out_ref[rf0:rf0 + 1, :] += f2[0:1, 0:tw]
+                acc[rf0:rf0 + 1, :] += f2[0:1, 0:tw]
             continue
         f2h, f2l = split(f2)
         if "c3dots" in layout:
@@ -399,7 +408,7 @@ def _kernel_stacked(y_ref, *refs,
             q = dot(w3[0], jnp.concatenate([f2h, f2h, f2l], axis=0))
         if "stencil" in ablate:
             if rf0 < th:
-                out_ref[rf0:rf0 + 1, :] += q[0:1, 0:tw]
+                acc[rf0:rf0 + 1, :] += q[0:1, 0:tw]
             continue
 
         # taps are kx-major, ky-reversed per block (q row kx*5 + (4-ky)):
@@ -419,7 +428,7 @@ def _kernel_stacked(y_ref, *refs,
             if "rowstencil" not in ablate and 4 <= rf < th \
                     and rf not in row_extras and not any(
                         (rf, dy) in row_skips for dy in range(5)):
-                out_ref[rf - 4:rf + 1, :] += t5[:, :]
+                acc[rf - 4:rf + 1, :] += t5[:, :]
                 continue
             for dy in range(5):
                 ro = rf - dy
@@ -432,23 +441,29 @@ def _kernel_stacked(y_ref, *refs,
 
                         @pl.when(cond)
                         def _(ro=ro, dy=dy, t5=t5):
-                            out_ref[ro:ro + 1, :] += t5[4 - dy:5 - dy, :]
+                            acc[ro:ro + 1, :] += t5[4 - dy:5 - dy, :]
                     else:
-                        out_ref[ro:ro + 1, :] += t5[4 - dy:5 - dy, :]
+                        acc[ro:ro + 1, :] += t5[4 - dy:5 - dy, :]
             for itx, dy, ro in row_extras.get(rf, ()):
                 @pl.when(i == itx)
                 def _(ro=ro, dy=dy, t5=t5):
-                    out_ref[ro:ro + 1, :] += t5[4 - dy:5 - dy, :]
+                    acc[ro:ro + 1, :] += t5[4 - dy:5 - dy, :]
 
+    if quant:
+        # conv3 bias + the reference's IntTrim quantization (clip-then-
+        # truncate == truncate-then-clip for monotone clip; f32->i32 in
+        # Mosaic rounds toward zero like the C cast, srcnn.cpp:238-240)
+        out_ref[...] = jnp.clip(acc[...] + b3_ref[0, 0], 0.0, 255.0) \
+            .astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("th", "tw", "ablate", "dbuf", "true_h",
-                                    "rpb", "layout"))
+                                    "rpb", "layout", "quant"))
 def _fused_call(y_pad, packed, th: int, tw: int,
                 ablate: frozenset = frozenset(), dbuf: bool = True,
                 true_h: int = 0, rpb: int = 1,
-                layout: frozenset = frozenset()):
+                layout: frozenset = frozenset(), quant: bool = True):
     *wrefs, b3 = packed
     stacked = len(wrefs) == 5 or bool(layout)  # (w1s, w2s, w3s, b1, b2)
     # the in-kernel feature-row clamp is only implemented by the stacked
@@ -460,34 +475,44 @@ def _fused_call(y_pad, packed, th: int, tw: int,
     th4, tw4 = th + 4, tw + 4
     interpret = jax.default_backend() == "cpu"  # hermetic CPU tests
     dbuf = dbuf and stacked
+    # in-kernel quantization (stacked production path, no ablation): the
+    # kernel adds the conv3 bias and stores the final u8 directly — the
+    # separate XLA quantize pass wrote+read the full f32 plane in HBM
+    # (~9 B/px).  Ablate variants keep the f32 output (they emit raw
+    # partials for attribution); the legacy 8-matmul kernel too.
+    quant = quant and stacked and not ablate
     if stacked:
         body = functools.partial(
             _kernel_stacked, th=th, tw=tw, ablate=ablate,
             gw=gw, total=gh * gw if dbuf else 0, true_h=true_h,
-            rpb=1 if ablate else rpb, layout=layout)
+            rpb=1 if ablate else rpb, layout=layout, quant=quant)
     else:
         body = functools.partial(_kernel, th=th, tw=tw, ablate=ablate)
     slab_shape = (2, th + 16, tw + 128) if dbuf else (th + 16, tw + 128)
+    ops = (*wrefs, b3.reshape(1, 1)) if quant else tuple(wrefs)
     out = pl.pallas_call(
         body,
         grid=(gh, gw),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # padded plane, HBM
-            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wrefs),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops),
         ],
         out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gh * th, gw * tw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gh * th, gw * tw),
+                                       jnp.uint8 if quant else jnp.float32),
         scratch_shapes=[
             pltpu.VMEM(slab_shape, y_pad.dtype),               # slab (aligned)
             pltpu.VMEM((9 * (th + 16), tw4), jnp.bfloat16),    # cc
-            # the stacked kernel accumulates straight into its out block
-            *([] if stacked else [pltpu.VMEM((th, tw), jnp.float32)]),
+            # f32 accumulator: the u8-emitting kernel needs a scratch; the
+            # f32-emitting stacked kernel accumulates into its out block
+            *([pltpu.VMEM((th, tw), jnp.float32)] if quant or not stacked
+              else []),
             pltpu.SemaphoreType.DMA((2,) if dbuf else ()),
         ],
         interpret=interpret,
-    )(y_pad, *wrefs)
-    return quantize_trunc_u8(out + b3)
+    )(y_pad, *ops)
+    return out if quant else quantize_trunc_u8(out + b3)
 
 
 def _pick_tiles(h: int, w: int) -> tuple[int, int]:

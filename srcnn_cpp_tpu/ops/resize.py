@@ -135,6 +135,33 @@ def _vphase_plan(oh: int, ih: int):
     return None
 
 
+def _phase_idx_plan(dst: int, src: int):
+    """Index-only phase plan: periodic taps with source step 1, ANY coefs.
+
+    For non-power-of-2 integer upscales (x3, x5, ...) OpenCV's fractional
+    offsets hit float32 rounding boundaries (first at output 1536 = 3*2^9),
+    so the COEFFICIENT tables stop repeating bitwise past that point and
+    :func:`_vphase_plan`/:func:`_hphase_plan` correctly decline.  The tap
+    INDICES, however, stay exactly periodic.  This plan captures that
+    weaker structure — ``(P, lo_pad, hi_pad, bases)`` with the full
+    per-output coefficient table left to the caller (the fused pre-pass
+    feeds it as a blocked kernel input; ops/pallas_resize.py round 4).
+    Returns None when indices are not S=1-periodic (fractional scales).
+    """
+    xi_un, _ = cv_cubic_taps_unclamped(dst, src)
+    for P in range(1, 9):
+        if dst <= P:
+            return None
+        if int(xi_un[P, 0] - xi_un[0, 0]) != 1:
+            continue
+        if (xi_un[P:] == xi_un[:-P] + 1).all():
+            lo = max(0, -int(xi_un.min()))
+            hi = max(0, int(xi_un.max()) - (src - 1))
+            return (P, lo, hi,
+                    [[int(v) + lo for v in xi_un[p]] for p in range(P)])
+    return None
+
+
 def _hphase_plan(ow: int, iw: int):
     """Lane-phase decomposition of the horizontal pass (S == 1 only).
 

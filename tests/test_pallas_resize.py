@@ -98,6 +98,32 @@ def test_pipeline_resize_fused_matches_exact(weights):
     assert np.array_equal(a, b)
 
 
+@pytest.mark.parametrize("oh,ih,ow,iw,which", [
+    (1620, 540, 288, 96, "v"),    # x3 rows cross the f32 boundary at 1536
+    (192, 64, 1620, 540, "h"),    # x3 cols cross it
+])
+def test_fused_pre_generalized_plan(oh, ih, ow, iw, which):
+    # Non-power-of-2 integer upscales past output 1536: OpenCV's float32
+    # fractional offsets stop repeating bitwise, the strict plan declines,
+    # and the GENERALIZED plan (periodic indices + per-output coefficient
+    # planes) takes over — found via the round-4 x3 bench, where 540p x3
+    # silently fell back to the XLA engines.
+    from srcnn_cpp_tpu.ops.pallas_resize import _pre_plans, \
+        _pre_statics, pre_upscale_fused
+
+    assert _pre_statics(oh, ih, ow, iw) is None   # strict really declines
+    st, vcf, hcf = _pre_plans(oh, ih, ow, iw)
+    assert st is not None
+    assert (st[5] is None) == (which == "v") == (vcf is not None)
+    assert (st[7] is None) == (which == "h") == (hcf is not None)
+
+    rng = np.random.default_rng(oh + ow)
+    x = rng.integers(0, 256, (1, 3, ih, iw), dtype=np.uint8)
+    got = pre_upscale_fused(x, (oh, ow))
+    assert got is not None
+    _assert_parity(got, _ref(x, (oh, ow)))
+
+
 def test_fused_pre_fuzz_random_geometries():
     # randomized integer-upscale geometries: odd widths/heights exercise
     # ragged tile overshoot, phase interleaves and the padding arithmetic

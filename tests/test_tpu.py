@@ -60,6 +60,17 @@ eng = resize_bicubic_u8(bgr2ycrcb_u8_planar(xb), (540, 960))
 d3 = np.abs(np.asarray(fp).astype(int) - np.asarray(eng).astype(int))
 res["fused_pre_vs_engine_max_lsb"] = int(d3.max())
 
+# GENERALIZED plan (x3 rows cross OpenCV's f32 coefficient-drift boundary
+# at output 1536): per-output-row coefficient planes, still BIT-identical.
+# Only the chip can prove this — on CPU the ~1-LSB FMA caveat would mask
+# a plan that wrongly reused the periodic coefficients (error ~0.06 LSB).
+xg = np.random.default_rng(3).integers(0, 256, (1, 3, 540, 96),
+                                       dtype=np.uint8)
+fg = pre_upscale_fused(xg, (1620, 288))
+eg = resize_bicubic_u8(bgr2ycrcb_u8_planar(xg), (1620, 288))
+res["fused_pre_general_max_lsb"] = int(np.abs(
+    np.asarray(fg).astype(int) - np.asarray(eg).astype(int)).max())
+
 # fused merge post-pass (Mosaic): bit-identical everywhere, including the
 # masked ragged boundary blocks (576 = 4.5 x 128 lanes)
 from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
@@ -126,6 +137,7 @@ def test_tpu_golden_gates():
     assert res["pipeline_vs_binary_max_lsb"] <= 2
     assert res["pipeline_vs_binary_frac"] < 0.01
     assert res["fused_pre_vs_engine_max_lsb"] == 0   # bit-identical on chip
+    assert res["fused_pre_general_max_lsb"] == 0     # drifted-coef plan too
     assert res["fused_merge_ragged_max_lsb"] == 0    # bit-identical on chip
     assert res["fused_pipeline_max_lsb"] == 0        # bit-identical on chip
     assert res.get("pallas_tiled_max_lsb", 0) <= 1
