@@ -59,7 +59,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .color import _B2Y, _CB2G, _CB2B, _CR2G, _CR2R, _DELTA, _G2Y, _R2CR, \
     _B2CB, _R2Y, _descale_f32
-from .resize import _hphase_plan, _phase_idx_plan, _vphase_plan
+from .resize import _hphase_plan, _hphase_plan_s, _phase_idx_plan, \
+    _vphase_plan
 from .resize_tables import cv_cubic_tables
 
 __all__ = ["pre_upscale_fused"]
@@ -67,6 +68,7 @@ __all__ = ["pre_upscale_fused"]
 
 def _kernel(bgr_ref, *refs, tih: int, tiw: int,
             svp: int, swp: int, pv: int, ph: int, vb, vc, hb, hc,
+            sv: int = 1, sh: int = 1,
             rowinter: str = "kernel", ablate: frozenset = frozenset()):
     """``ph`` (3, pv*tih, tiw) phase tiles from a (3, svp, swp) BGR slab.
 
@@ -113,15 +115,26 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
     t = (b * gh + i) * gw + j
     total = pl.num_programs(0) * gh * gw
     par = jax.lax.rem(t, 2)
+    sq = sv * sh          # parity quadrants (1 for the S=1 fast path)
 
     def _start(tn, slot):
         jn = jax.lax.rem(tn, gw)
         rest = jax.lax.div(tn, gw)
         in_ = jax.lax.rem(rest, gh)
         bn = jax.lax.div(rest, gh)
-        pltpu.make_async_copy(
-            bgr_ref.at[bn, :, pl.ds(in_ * tih, svp), pl.ds(jn * tiw, swp)],
-            slab.at[slot], dma_sem.at[slot]).start()
+        if sq == 1:
+            pltpu.make_async_copy(
+                bgr_ref.at[bn, :, pl.ds(in_ * tih, svp),
+                           pl.ds(jn * tiw, swp)],
+                slab.at[slot], dma_sem.at[slot]).start()
+        else:
+            # one DMA per parity quadrant (the deinterleaved planes are
+            # disjoint regions of the input array; same window each)
+            for qd in range(sq):
+                pltpu.make_async_copy(
+                    bgr_ref.at[bn, :, qd, pl.ds(in_ * tih, svp),
+                               pl.ds(jn * tiw, swp)],
+                    slab.at[slot, qd], dma_sem.at[slot, qd]).start()
 
     @pl.when(t == 0)
     def _():
@@ -131,15 +144,24 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
     def _():
         _start(t + 1, jax.lax.rem(t + 1, 2))
 
-    pltpu.make_async_copy(
-        bgr_ref.at[b, :, pl.ds(i * tih, svp), pl.ds(j * tiw, swp)],
-        slab.at[par], dma_sem.at[par]).wait()
-    x = slab[par].astype(jnp.int32).astype(jnp.float32)
+    if sq == 1:
+        pltpu.make_async_copy(
+            bgr_ref.at[b, :, pl.ds(i * tih, svp), pl.ds(j * tiw, swp)],
+            slab.at[par], dma_sem.at[par]).wait()
+        x = slab[par].astype(jnp.int32).astype(jnp.float32)
+        bl, gr, rd = x[0], x[1], x[2]
+    else:
+        for qd in range(sq):
+            pltpu.make_async_copy(
+                bgr_ref.at[b, :, qd, pl.ds(i * tih, svp),
+                           pl.ds(j * tiw, swp)],
+                slab.at[par, qd], dma_sem.at[par, qd]).wait()
+        x = slab[par].astype(jnp.int32).astype(jnp.float32)
+        bl, gr, rd = x[:, 0], x[:, 1], x[:, 2]   # (sq, svp, swp) each
 
     # fixed-point color conversion, exact in f32 (ops/color.py semantics)
-    bl, gr, rd = x[0], x[1], x[2]
     if "color" in ablate:
-        ycc = jnp.stack([bl, gr, rd], axis=0)
+        ycc = jnp.stack([bl, gr, rd], axis=-3)
     else:
         y = _descale_f32(bl * _B2Y + gr * _G2Y + rd * _R2Y)
         cr = _descale_f32((rd - y) * _R2CR + _DELTA)
@@ -147,7 +169,10 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
         # clip to the u8 range like bgr2ycrcb_u8_planar (y/cr/cb of valid
         # BGR are already in range; the clip matches the engine exactly
         # anyway)
-        ycc = jnp.clip(jnp.stack([y, cr, cb], axis=0), 0.0, 255.0)
+        ycc = jnp.clip(jnp.stack([y, cr, cb], axis=-3), 0.0, 255.0)
+    # per-quadrant views: quadrant (svi, shi) holds input rows
+    # svi::sv x cols shi::sh; for sq == 1 this is just [ycc]
+    ycc_q = [ycc] if sq == 1 else [ycc[qd] for qd in range(sq)]
 
     th = pv * tih
     # scalar coefficients when the strict plan holds; per-output-column
@@ -159,26 +184,38 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
     vcoef = ((lambda q, k: vc[q][k]) if vc is not None
              else (lambda q, k: vcf_ref[q, k]))
     for p in range(ph):
-        if "h" in ablate:
-            rp = ycc[:, :, 0:tiw]
-        else:
-            # horizontal phase p: 4 contiguous lane slices x int
-            # coefficients (exact integer sums in f32, hplan branch)
-            rp = ycc[:, :, hb[p][3]: hb[p][3] + tiw] * hcoef(p, 3)
-            for k in (2, 1, 0):
-                rp = ycc[:, :, hb[p][k]: hb[p][k] + tiw] \
-                    * hcoef(p, k) + rp                    # [3, svp, tiw]
+        # horizontal phase p, computed once per VERTICAL parity plane:
+        # tap k lives in quadrant (svi, hb%sh) at column hb//sh — always a
+        # CONTIGUOUS lane slice (the whole point of the deinterleave)
+        rp_par = []
+        for svi in range(sv):
+            if "h" in ablate:
+                rp = ycc_q[svi * sh][:, :, 0:tiw]
+            else:
+                def hsl(k):
+                    qd = svi * sh + hb[p][k] % sh
+                    idx = hb[p][k] // sh
+                    return ycc_q[qd][:, :, idx: idx + tiw]
+
+                rp = hsl(3) * hcoef(p, 3)
+                for k in (2, 1, 0):
+                    rp = hsl(k) * hcoef(p, k) + rp        # [3, svp, tiw]
+            rp_par.append(rp)
         phases = []
         for q in range(pv):
             if "v" in ablate:
-                r2 = rp[:, 0:tih, :]
+                r2 = rp_par[0][:, 0:tih, :]
             else:
                 # vertical phase q: OpenCV's right-to-left separate
-                # mul/add roundings — identical ops as ops/resize._vpass
-                r2 = rp[:, vb[q][3]: vb[q][3] + tih, :] * vcoef(q, 3)
+                # mul/add roundings — identical ops as ops/resize._vpass;
+                # tap k reads the (vb%sv) parity plane at row vb//sv
+                def vsl(k):
+                    return rp_par[vb[q][k] % sv][
+                        :, vb[q][k] // sv: vb[q][k] // sv + tih, :]
+
+                r2 = vsl(3) * vcoef(q, 3)
                 for k in (2, 1, 0):
-                    r2 = rp[:, vb[q][k]: vb[q][k] + tih, :] * vcoef(q, k) \
-                        + r2
+                    r2 = vsl(k) * vcoef(q, k) + r2
             phases.append(r2 if "round" in ablate
                           else jnp.clip(jnp.round(r2), 0.0, 255.0))
         if pv == 1:
@@ -196,15 +233,18 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
 @functools.partial(
     jax.jit, static_argnames=("tih", "tiw", "svp", "swp", "pv", "ph",
                               "vb", "vc", "hb", "hc", "gh", "gw",
-                              "rowinter", "ablate"))
+                              "sv", "sh", "rowinter", "ablate"))
 def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
-                    gh, gw, rowinter: str = "kernel",
+                    gh, gw, sv: int = 1, sh: int = 1,
+                    rowinter: str = "kernel",
                     ablate: frozenset = frozenset(),
                     vcf=None, hcf=None):
     nb = ypad.shape[0]
+    sq = sv * sh
     body = functools.partial(
         _kernel, tih=tih, tiw=tiw, svp=svp, swp=swp, pv=pv, ph=ph,
-        vb=vb, vc=vc, hb=hb, hc=hc, rowinter=rowinter, ablate=ablate)
+        vb=vb, vc=vc, hb=hb, hc=hc, sv=sv, sh=sh,
+        rowinter=rowinter, ablate=ablate)
     # generalized-plan coefficient planes ride blocked in_specs: each grid
     # step sees only its (pv, 4, tih, 1) row / (ph, 4, 1, tiw) col block
     coef_specs, coef_args = [], []
@@ -226,8 +266,9 @@ def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
         out_shape=[jax.ShapeDtypeStruct(
             (nb, 3, gh * pv * tih, gw * tiw), jnp.uint8)] * ph,
         scratch_shapes=[
-            pltpu.VMEM((2, 3, svp, swp), ypad.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 3, svp, swp) if sq == 1
+                       else (2, sq, 3, svp, swp), ypad.dtype),
+            pltpu.SemaphoreType.DMA((2,) if sq == 1 else (2, sq)),
         ],
         interpret=jax.default_backend() == "cpu",
     )(ypad, *coef_args)
@@ -300,41 +341,46 @@ def _pre_plans(oh: int, ih: int, ow: int, iw: int):
     bitwise — ops/resize._phase_idx_plan), that axis's ``vc``/``hc``
     static is None and the full per-output coefficient table is returned
     as a (P, 4, n) float32 plane instead, fed to the kernel as a blocked
-    input.  Numerics are identical either way: same coefficient values in
-    the same chain order as the engine's gather form.
+    input.  Source steps up to 2 are admitted on both axes (x1.5: P=3,
+    S=2) — the kernel realizes S=2 via parity-deinterleaved input planes,
+    where every tap is again a contiguous slice.  Numerics are identical
+    in all variants: same coefficient values in the same chain order as
+    the engine's gather form.
+
+    Returns the extended statics ``(pv, top, ph, left, vb, vc, hb, hc,
+    sv, sh)``; the legacy 8-tuple from :func:`_pre_statics` (implies
+    ``sv == sh == 1``) is still accepted everywhere downstream — the
+    sharded path keeps using it.
     """
-    st = _pre_statics(oh, ih, ow, iw)
-    if st is not None:
-        return st, None, None
     vplan = _vphase_plan(oh, ih)
-    if vplan is not None and vplan[1] == 1:
-        pv, _, top, _, vb_l, vc_l = vplan
+    if vplan is not None and vplan[1] <= 2:
+        pv, sv, top, _, vb_l, vc_l = vplan
         vb, vc = _plan_static(vb_l, vc_l)
         vcf = None
     else:
-        g = _phase_idx_plan(oh, ih)
+        g = _phase_idx_plan(oh, ih, max_s=2)
         if g is None:
             return None, None, None
-        pv, top, _, vb_l = g
+        pv, sv, top, _, vb_l = g
         vb = tuple(tuple(int(v) for v in row) for row in vb_l)
         vc = None
         _, _, yfc = cv_cubic_tables(oh, ih)
         vcf = _phase_coefs(np.asarray(yfc), pv)
-    hplan = _hphase_plan(ow, iw)
+    hplan = _hphase_plan_s(ow, iw, max_s=2)
     if hplan is not None:
-        ph, left, _, hb_l, hc_l = hplan
+        ph, sh, left, _, hb_l, hc_l = hplan
         hb, hc = _plan_static(hb_l, hc_l)
         hcf = None
     else:
-        g = _phase_idx_plan(ow, iw)
+        g = _phase_idx_plan(ow, iw, max_s=2)
         if g is None:
             return None, None, None
-        ph, left, _, hb_l = g
+        ph, sh, left, _, hb_l = g
         hb = tuple(tuple(int(v) for v in row) for row in hb_l)
         hc = None
         _, xic, _ = cv_cubic_tables(ow, iw)
         hcf = _phase_coefs(np.asarray(xic), ph)
-    return (pv, top, ph, left, vb, vc, hb, hc), vcf, hcf
+    return (pv, top, ph, left, vb, vc, hb, hc, sv, sh), vcf, hcf
 
 
 def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
@@ -357,7 +403,8 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
     slack rows/cols are read by the last tiles' slabs but contribute only
     to outputs that are cropped away.
     """
-    pv, top, ph, left, vb, vc, hb, hc = statics
+    pv, top, ph, left, vb, vc, hb, hc, *rest = statics
+    sv, sh = rest if rest else (1, 1)    # legacy 8-tuple: S=1 both axes
     rows, iw = x.shape[-2:]
     # tile size: tih rows / tiw lanes PER PHASE (output tile pv*tih x
     # ph*tiw); shrink for short/narrow planes.  ``tile`` overrides for
@@ -375,22 +422,35 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
         tiw = max(128, min(1024, -(-(ow // ph) // 128) * 128))
     gh = -(-oh // (pv * tih))
     gw = -(-ow // (ph * tiw))
-    max_vb = max(v for row in vb for v in row)
-    max_hb = max(v for row in hb for v in row)
+    # slab windows live in PARITY-PLANE coordinates (sv = sh = 1 makes
+    # them the plain input coordinates): tap (q, k) reads quadrant row
+    # vb//sv, so the window needs max(vb//sv) + tih rows per quadrant
+    max_vb = max(v // sv for row in vb for v in row)
+    max_hb = max(v // sh for row in hb for v in row)
     svp = -(-(max_vb + tih) // 8) * 8
     swp = -(-(max_hb + tiw) // 128) * 128
     # pad the input so every tile's slab window exists: slab (i, j) reads
-    # rows [i*tih, i*tih + svp), cols [j*tiw, j*tiw + swp) of the padded
-    # plane; edge mode realizes the replicate border (and keeps the
-    # overshoot rows/cols of the last tiles benign — their outputs crop)
-    need_r = (gh - 1) * tih + svp
-    need_c = (gw - 1) * tiw + swp
+    # quadrant rows [i*tih, i*tih + svp), cols [j*tiw, j*tiw + swp); edge
+    # mode realizes the replicate border (and keeps the overshoot rows/
+    # cols of the last tiles benign — their outputs crop)
+    need_r = ((gh - 1) * tih + svp) * sv
+    need_c = ((gw - 1) * tiw + swp) * sh
+    lead_r, lead_c = top - rows_above, left - cols_left
     ypad = jnp.pad(
         x, ((0, 0), (0, 0),
-            (top - rows_above, max(0, need_r - (top - rows_above) - rows)),
-            (left - cols_left,
-             max(0, need_c - (left - cols_left) - iw))),
+            (lead_r, max(0, need_r - lead_r - rows)),
+            (lead_c, max(0, need_c - lead_c - iw))),
         mode="edge")
+    if sv > 1 or sh > 1:
+        # parity deinterleave (padded coordinates): quadrant (svi, shi)
+        # holds rows svi::sv x cols shi::sh — a bandwidth-trivial u8
+        # relayout done once per call, after which every kernel tap is a
+        # contiguous slice of one quadrant plane
+        ypad = ypad[:, :, :need_r, :need_c]
+        nb3 = ypad.shape[:2]
+        ypad = ypad.reshape(*nb3, need_r // sv, sv, need_c // sh, sh)
+        ypad = jnp.transpose(ypad, (0, 1, 3, 5, 2, 4)).reshape(
+            *nb3, sv * sh, need_r // sv, need_c // sh)
     # generalized-plan coefficient planes: pad to the grid extent so the
     # blocked in_specs tile them exactly (padding feeds only cropped rows/
     # cols); tiny f32 constants embedded at trace time
@@ -404,7 +464,7 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
         hcol[:, :, 0, :hcf.shape[2]] = hcf
         hcf_j = jnp.asarray(hcol)
     return _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
-                           gh, gw, rowinter=rowinter,
+                           gh, gw, sv=sv, sh=sh, rowinter=rowinter,
                            ablate=ablate, vcf=vcf_j,
                            hcf=hcf_j)[:, :, :oh, :ow]
 
@@ -414,8 +474,9 @@ def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):
 
     Fused color+bicubic pre-pass, bit-identical to
     ``resize_bicubic_u8(bgr2ycrcb_u8_planar(x), out_hw)``.  Returns None
-    when the geometry has no step-1 phase plan on either axis (the caller
-    falls back to the XLA engines).
+    when the geometry has no step<=2 phase plan on either axis (the
+    caller falls back to the XLA engines); x1.5 (P=3, S=2 both axes)
+    rides the parity-deinterleaved kernel path.
     """
     oh, ow = int(out_hw[0]), int(out_hw[1])
     ih, iw = bgr_p.shape[-2:]

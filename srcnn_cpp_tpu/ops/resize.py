@@ -135,30 +135,59 @@ def _vphase_plan(oh: int, ih: int):
     return None
 
 
-def _phase_idx_plan(dst: int, src: int):
-    """Index-only phase plan: periodic taps with source step 1, ANY coefs.
+def _phase_idx_plan(dst: int, src: int, max_s: int = 1):
+    """Index-only phase plan: periodic taps with source step <= max_s.
 
     For non-power-of-2 integer upscales (x3, x5, ...) OpenCV's fractional
     offsets hit float32 rounding boundaries (first at output 1536 = 3*2^9),
     so the COEFFICIENT tables stop repeating bitwise past that point and
     :func:`_vphase_plan`/:func:`_hphase_plan` correctly decline.  The tap
     INDICES, however, stay exactly periodic.  This plan captures that
-    weaker structure — ``(P, lo_pad, hi_pad, bases)`` with the full
+    weaker structure — ``(P, S, lo_pad, hi_pad, bases)`` with the full
     per-output coefficient table left to the caller (the fused pre-pass
     feeds it as a blocked kernel input; ops/pallas_resize.py round 4).
-    Returns None when indices are not S=1-periodic (fractional scales).
+    ``max_s`` > 1 additionally admits strided plans (x1.5: S=2) — the
+    fused kernel realizes those via parity-deinterleaved input planes.
+    Returns None when indices are not periodic with S <= max_s.
     """
     xi_un, _ = cv_cubic_taps_unclamped(dst, src)
     for P in range(1, 9):
         if dst <= P:
             return None
-        if int(xi_un[P, 0] - xi_un[0, 0]) != 1:
+        S = int(xi_un[P, 0] - xi_un[0, 0])
+        if not 1 <= S <= max_s:
             continue
-        if (xi_un[P:] == xi_un[:-P] + 1).all():
+        if (xi_un[P:] == xi_un[:-P] + S).all():
             lo = max(0, -int(xi_un.min()))
             hi = max(0, int(xi_un.max()) - (src - 1))
-            return (P, lo, hi,
+            return (P, S, lo, hi,
                     [[int(v) + lo for v in xi_un[p]] for p in range(P)])
+    return None
+
+
+def _hphase_plan_s(ow: int, iw: int, max_s: int = 2):
+    """Strict horizontal phase plan admitting source steps up to ``max_s``.
+
+    Same bitwise-periodicity contract as :func:`_hphase_plan` but without
+    its S == 1 restriction (which exists because the XLA engine realizes
+    phases as CONTIGUOUS lane slices).  The fused pre-pass consumes S=2
+    plans via parity-deinterleaved input planes, where each tap is again
+    contiguous.  Returns ``(P, S, left, right, bases, coefs)`` or None.
+    """
+    xi_un, _ = cv_cubic_taps_unclamped(ow, iw)
+    _, xic, _ = cv_cubic_tables(ow, iw)
+    for P in range(1, 9):
+        if ow <= P:
+            return None
+        S = int(xi_un[P, 0] - xi_un[0, 0])
+        if not 1 <= S <= max_s:
+            continue
+        if (xi_un[P:] == xi_un[:-P] + S).all() and (xic[P:] == xic[:-P]).all():
+            left = max(0, -int(xi_un.min()))
+            right = max(0, int(xi_un.max()) - (iw - 1))
+            return (P, S, left, right,
+                    [[int(v) + left for v in xi_un[p]] for p in range(P)],
+                    [[np.float32(v) for v in xic[p]] for p in range(P)])
     return None
 
 
@@ -301,6 +330,10 @@ def _vpass(rows, oh: int, yi, yfc, plan):
             + ([jnp.repeat(rows[-1:, :], bot, axis=0)] if bot else []),
             axis=0)
         nmax = -(-oh // P)
+        # NOTE (round-4 negative): de-interleaving rows into S parity
+        # planes so each tap is a contiguous slice measured NEUTRAL on
+        # chip at x1.5 (20.9 vs 20.8 ms, batch-32 540p) — XLA already
+        # fuses the stride-S slices well.  Strided form kept.
         phases = []
         for p in range(P):
             n = len(range(p, oh, P))

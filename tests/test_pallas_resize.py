@@ -30,13 +30,17 @@ def _assert_parity(got, ref):
 
 @pytest.mark.parametrize("ih,iw,s", [
     (64, 96, 2), (32, 160, 2), (40, 128, 3), (24, 96, 4),
+    (64, 96, 1.5), (54, 172, 1.5), (92, 250, 1.5),   # S=2 parity planes
+    (64, 256, 0.5), (126, 300, 0.5),                 # 2:1 downscale (S=2)
 ])
 def test_fused_pre_parity_integer_scales(ih, iw, s):
+    from srcnn_cpp_tpu.ops.resize import scaled_size
     from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
 
-    rng = np.random.default_rng(ih + iw + s)
+    rng = np.random.default_rng(int(ih + iw + s))
     x = rng.integers(0, 256, (2, 3, ih, iw), dtype=np.uint8)
-    out_hw = (ih * s, iw * s)
+    ow, oh = scaled_size(iw, ih, s)
+    out_hw = (oh, ow)
     got = pre_upscale_fused(x, out_hw)
     assert got is not None, (ih, iw, s)
     _assert_parity(got, _ref(x, out_hw))
@@ -68,10 +72,12 @@ def test_fused_pre_declines_nonphase_geometries():
     from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
 
     x = np.zeros((1, 3, 64, 128), dtype=np.uint8)
-    # x1.5: the vertical plan has source step 2 -> no step-1 plan
-    assert pre_upscale_fused(x, (96, 192)) is None
-    # downscale: no phase plan at all
-    assert pre_upscale_fused(x, (32, 640)) is None
+    # x1.25: the phase plans have source step 4 — beyond the S<=2 the
+    # parity-deinterleaved kernel supports (x1.5's S=2 is now covered,
+    # and so are 2:1 downscales — P=1, S=2 — tested above)
+    assert pre_upscale_fused(x, (80, 160)) is None
+    # x0.75 downscale: source step 4/3, not integer-periodic
+    assert pre_upscale_fused(x, (48, 640)) is None
     # tiny planes decline too
     assert pre_upscale_fused(np.zeros((1, 3, 2, 16), np.uint8),
                              (4, 32)) is None

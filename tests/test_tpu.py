@@ -71,6 +71,15 @@ eg = resize_bicubic_u8(bgr2ycrcb_u8_planar(xg), (1620, 288))
 res["fused_pre_general_max_lsb"] = int(np.abs(
     np.asarray(fg).astype(int) - np.asarray(eg).astype(int)).max())
 
+# x1.5 (P=3, S=2 both axes): the parity-deinterleaved kernel path —
+# quadrant slab DMAs + per-tap parity-plane slices, still BIT-identical
+x15 = np.random.default_rng(7).integers(0, 256, (2, 3, 180, 320),
+                                        dtype=np.uint8)
+f15 = pre_upscale_fused(x15, (270, 480))
+e15 = resize_bicubic_u8(bgr2ycrcb_u8_planar(x15), (270, 480))
+res["fused_pre_s2_max_lsb"] = int(np.abs(
+    np.asarray(f15).astype(int) - np.asarray(e15).astype(int)).max())
+
 # fused merge post-pass (Mosaic): bit-identical everywhere, including the
 # masked ragged boundary blocks (576 = 4.5 x 128 lanes)
 from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
@@ -138,6 +147,7 @@ def test_tpu_golden_gates():
     assert res["pipeline_vs_binary_frac"] < 0.01
     assert res["fused_pre_vs_engine_max_lsb"] == 0   # bit-identical on chip
     assert res["fused_pre_general_max_lsb"] == 0     # drifted-coef plan too
+    assert res["fused_pre_s2_max_lsb"] == 0          # x1.5 parity planes
     assert res["fused_merge_ragged_max_lsb"] == 0    # bit-identical on chip
     assert res["fused_pipeline_max_lsb"] == 0        # bit-identical on chip
     assert res.get("pallas_tiled_max_lsb", 0) <= 1
