@@ -32,6 +32,7 @@ from srcnn_cpp_tpu.weights import load_weights
 H, W = 2160, 3840
 VARIANTS = [
     ("full", frozenset()),
+    ("no-split", frozenset({"split2"})),   # conv2/3 split cost (f1 only)
     ("no-stencil", frozenset({"stencil"})),
     ("conv1+2", frozenset({"conv3"})),
     ("conv1", frozenset({"conv2"})),
@@ -70,6 +71,7 @@ def main() -> None:
     print_table(f"[{mode}] tile ({th},{tw})  plane {w}x{h}"
                 f"  useful {mp:.1f} MP", best, mp)
     print("\ndifferenced stage costs (ms):")
+    print(f"  f1 hi/lo split: {1e3*(best['full'] - best['no-split']):7.2f}")
     print(f"  stencil       : {1e3*(best['full'] - best['no-stencil']):7.2f}")
     print(f"  conv3 matmuls : {1e3*(best['no-stencil'] - best['conv1+2']):7.2f}")
     print(f"  conv2 matmuls : {1e3*(best['conv1+2'] - best['conv1']):7.2f}")

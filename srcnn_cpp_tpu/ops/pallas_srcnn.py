@@ -387,7 +387,13 @@ def _kernel_stacked(y_ref, *refs,
             if rf0 < th:
                 acc[rf0:rf0 + 1, :] += f1[0:1, 0:tw]
             continue
-        f1h, f1l = split(f1)
+        if "split2" in ablate:
+            # profiling only: skip the hi/lo decomposition (wrong values,
+            # same downstream shapes) to attribute the split's VPU cost
+            f1h = f1.astype(jnp.bfloat16)
+            f1l = f1h
+        else:
+            f1h, f1l = split(f1)
         if "c2dots" in layout:
             f2 = jnp.maximum(
                 dot(w2[0], jnp.concatenate([f1h, f1l], axis=0))
