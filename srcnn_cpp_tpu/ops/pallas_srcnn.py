@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.color import _CB2B, _CB2G, _CR2G, _CR2R, _descale_f32
 from ..ops.quantize import quantize_trunc_u8, split_hi_lo
 
 #: conv1 taps (81) padded to a bf16 sublane multiple
@@ -259,7 +260,7 @@ def _kernel_stacked(y_ref, *refs,
                     th: int, tw: int, ablate: frozenset = frozenset(),
                     gw: int = 0, total: int = 0, true_h: int = 0,
                     rpb: int = 1, layout: frozenset = frozenset(),
-                    quant: bool = False):
+                    quant: bool = False, merge: bool = False):
     """K-stacked-matmul variant: one dot per stage per feature row.
 
     Every stage's split-precision products ride the K axis of a single dot
@@ -284,7 +285,17 @@ def _kernel_stacked(y_ref, *refs,
     w1refs = refs[:n1]
     w2refs = refs[n1:n1 + n2]
     w3refs = refs[n1 + n2:n1 + n2 + n3]
-    if quant:
+    if merge:
+        # fused merge mode (round 4e): the kernel also consumes the
+        # upscaled Cr/Cb tile (BlockSpec-pipelined, exactly out-aligned —
+        # the merge is pointwise, no halo) and stores the final planar
+        # BGR u8 tile.  The standalone merge kernel spent ~8 ms at the
+        # bench geometry almost entirely in per-tile floor; here its math
+        # rides the conv kernel's existing tile schedule and the Y' plane
+        # never round-trips HBM at all.
+        (b1_ref, b2_ref, b3_ref, crcb_ref, out_ref, slab, cc, acc,
+         dma_sem) = refs[n1 + n2 + n3:]
+    elif quant:
         # in-kernel final quantization: accumulate in an f32 scratch, add
         # the conv3 bias, clip+truncate and store u8 — the separate XLA
         # quantize pass cost a full f32 plane HBM round-trip (~9 B/px)
@@ -455,7 +466,24 @@ def _kernel_stacked(y_ref, *refs,
                 def _(ro=ro, dy=dy, t5=t5):
                     acc[ro:ro + 1, :] += t5[4 - dy:5 - dy, :]
 
-    if quant:
+    if merge:
+        # the reference's IntTrim quantization in f32 (trunc toward zero
+        # then clamp — an int-valued f32 equals the u8 the merge engine
+        # reads), then OpenCV's exact fixed-point inverse color transform
+        # (ops/pallas_merge.py numerics: every product/sum an integer
+        # < 2^23, exact in f32)
+        yq = jnp.clip(jnp.trunc(acc[...] + b3_ref[0, 0]), 0.0, 255.0)
+        cr = crcb_ref[0].astype(jnp.int32).astype(jnp.float32) - 128.0
+        cb = crcb_ref[1].astype(jnp.int32).astype(jnp.float32) - 128.0
+
+        def store(c, plane):
+            out_ref[c] = jnp.clip(plane, 0.0, 255.0) \
+                .astype(jnp.int32).astype(jnp.uint8)
+
+        store(0, yq + _descale_f32(cb * _CB2B))
+        store(1, yq + _descale_f32(cb * _CB2G + cr * _CR2G))
+        store(2, yq + _descale_f32(cr * _CR2R))
+    elif quant:
         # conv3 bias + the reference's IntTrim quantization (clip-then-
         # truncate == truncate-then-clip for monotone clip; f32->i32 in
         # Mosaic rounds toward zero like the C cast, srcnn.cpp:238-240)
@@ -469,7 +497,8 @@ def _kernel_stacked(y_ref, *refs,
 def _fused_call(y_pad, packed, th: int, tw: int,
                 ablate: frozenset = frozenset(), dbuf: bool = True,
                 true_h: int = 0, rpb: int = 1,
-                layout: frozenset = frozenset(), quant: bool = True):
+                layout: frozenset = frozenset(), quant: bool = True,
+                crcb=None):
     *wrefs, b3 = packed
     stacked = len(wrefs) == 5 or bool(layout)  # (w1s, w2s, w3s, b1, b2)
     # the in-kernel feature-row clamp is only implemented by the stacked
@@ -486,27 +515,44 @@ def _fused_call(y_pad, packed, th: int, tw: int,
     # separate XLA quantize pass wrote+read the full f32 plane in HBM
     # (~9 B/px).  Ablate variants keep the f32 output (they emit raw
     # partials for attribution); the legacy 8-matmul kernel too.
+    # ``crcb`` (2, gh*th, gw*tw) additionally fuses the merge post-pass:
+    # the kernel consumes the out-aligned Cr/Cb tiles and emits planar
+    # BGR (3, gh*th, gw*tw) u8 directly.
     quant = quant and stacked and not ablate
+    merge = crcb is not None
+    assert not merge or quant, "merge requires the quantizing kernel"
     if stacked:
         body = functools.partial(
             _kernel_stacked, th=th, tw=tw, ablate=ablate,
             gw=gw, total=gh * gw if dbuf else 0, true_h=true_h,
-            rpb=1 if ablate else rpb, layout=layout, quant=quant)
+            rpb=1 if ablate else rpb, layout=layout, quant=quant,
+            merge=merge)
     else:
         body = functools.partial(_kernel, th=th, tw=tw, ablate=ablate)
     slab_shape = (2, th + 16, tw + 128) if dbuf else (th + 16, tw + 128)
     ops = (*wrefs, b3.reshape(1, 1)) if quant else tuple(wrefs)
+    extra_specs, extra_args = [], []
+    if merge:
+        extra_specs.append(pl.BlockSpec((2, th, tw), lambda i, j: (0, i, j),
+                                        memory_space=pltpu.VMEM))
+        extra_args.append(crcb)
     out = pl.pallas_call(
         body,
         grid=(gh, gw),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # padded plane, HBM
             *[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops),
+            *extra_specs,
         ],
-        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gh * th, gw * tw),
-                                       jnp.uint8 if quant else jnp.float32),
+        out_specs=(pl.BlockSpec((3, th, tw), lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM) if merge else
+                   pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((3, gh * th, gw * tw), jnp.uint8)
+                   if merge else
+                   jax.ShapeDtypeStruct((gh * th, gw * tw),
+                                        jnp.uint8 if quant
+                                        else jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM(slab_shape, y_pad.dtype),               # slab (aligned)
             pltpu.VMEM((9 * (th + 16), tw4), jnp.bfloat16),    # cc
@@ -517,7 +563,7 @@ def _fused_call(y_pad, packed, th: int, tw: int,
             pltpu.SemaphoreType.DMA((2,) if dbuf else ()),
         ],
         interpret=interpret,
-    )(y_pad, *ops)
+    )(y_pad, *ops, *extra_args)
     return out if quant else quantize_trunc_u8(out + b3)
 
 
@@ -602,6 +648,71 @@ def srcnn_y_fused(y_u8, weights, pack: bool = True):
     if h >= 8 and w > 8:
         return _fix_edges_batch(out[None, :h, :w], y_u8[None], weights)[0]
     return _fix_edges(out[:h, :w], y_u8, weights)
+
+
+def srcnn_merge_fused(up, weights):
+    """Upscaled YCrCb u8 ``[B, 3, H, W]`` -> planar BGR u8, ONE kernel.
+
+    Fuses the conv stack (on Y), the reference's IntTrim quantization, the
+    merge and the inverse color transform (srcnn.cpp:609-657) into the
+    packed conv kernel: Cr/Cb tiles are BlockSpec-pipelined alongside the
+    conv's out tiles (the merge is pointwise — no halo) and the kernel
+    stores planar BGR directly.  vs the separate merge kernel this
+    removes the Y' HBM round-trip and the merge pass's per-tile floor
+    (~8 ms at the bench geometry, KERNEL_NOTES 4c/4e).
+
+    Numerics: identical op sequences to ``srcnn_y_fused`` +
+    ``merge_ycrcb_to_bgr_fused`` — the conv3 feature-COLUMN clamp at the
+    2-px left/right edges is applied by recomputing those BGR columns
+    from the fixed Y values (the in-kernel row-clamp plan handles rows).
+    Returns None for shapes below the kernel minimum.
+
+    STATUS: measured NEGATIVE for production (KERNEL_NOTES 4e) — the
+    interleaved on-chip A/B put this 5 ms/batch-32 SLOWER than the
+    separate merge kernel (56.0 vs 51.0 ms chained, outputs bit-equal):
+    the Cr/Cb block pipelining + per-channel color stores extend the conv
+    kernel's per-tile critical path by more than the standalone merge
+    pass costs.  Kept (tested, gated) as the reproduction artifact.
+    """
+    b, c, h, w = up.shape
+    if c != 3 or h < 8 or w <= 8:
+        return None
+    y_u8 = up[:, 0]
+    # lane-axis frame packing, exactly as srcnn_y_fused's pack branch
+    blocks = jnp.concatenate([
+        jnp.repeat(y_u8[:, :, :1], 4, axis=2), y_u8,
+        jnp.repeat(y_u8[:, :, -1:], 4, axis=2)], axis=2)
+    wc = b * (w + 8)
+    comp = jnp.swapaxes(blocks, 0, 1).reshape(h, wc)
+    th, tw = _pick_tiles(h, wc)
+    hp = ((h + th - 1) // th) * th
+    wp = ((wc + tw - 1) // tw) * tw
+    ypad = jnp.pad(comp, ((6, 10 + hp - h), (6, 122 + wp - wc)),
+                   mode="edge")
+    # Cr/Cb in the same packed layout (pad-column values are arbitrary —
+    # every padded output column is cropped)
+    cc2 = jnp.concatenate([
+        jnp.repeat(up[:, 1:, :, :1], 4, axis=3), up[:, 1:],
+        jnp.repeat(up[:, 1:, :, -1:], 4, axis=3)], axis=3)  # (B,2,H,W+8)
+    comp2 = jnp.transpose(cc2, (1, 2, 0, 3)).reshape(2, h, wc)
+    crcb = jnp.pad(comp2, ((0, 0), (0, hp - h), (0, wp - wc)))
+    out = _fused_call(ypad, _prep_weights(weights), th, tw, true_h=h,
+                      crcb=crcb)                    # (3, hp, wp) u8 BGR
+    out = out[:, :h, :wc].reshape(3, h, b, w + 8)[:, :, :, 4:4 + w]
+    bgr = jnp.transpose(out, (2, 0, 1, 3))          # (B, 3, h, w)
+
+    # conv3's feature-COLUMN clamp: fix the 2-px left/right Y columns
+    # (strip kernel + corner patches, same as the unfused path) and
+    # recompute the affected BGR columns with the exact color transform
+    from .color import ycrcb2bgr_u8_planar
+
+    m = min(2, w)
+    yfix = _fix_edges_batch(jnp.zeros_like(y_u8), y_u8, weights)
+    for sl in (slice(0, m), slice(w - m, w)):
+        strip = jnp.stack(
+            [yfix[:, :, sl], up[:, 1, :, sl], up[:, 2, :, sl]], axis=1)
+        bgr = bgr.at[:, :, :, sl].set(ycrcb2bgr_u8_planar(strip))
+    return bgr
 
 
 def _fix_edges(out, y_u8, weights):

@@ -67,6 +67,9 @@ def _upscale_planar_jit(bgr_p, weights: SRCNNWeights, out_hw: tuple[int, int],
               else resize_bicubic_u8)
         up = rs(ycc, out_hw)                              # [B, 3, oh, ow]
     if backend_kernel == "pallas":
+        # NOT used here: srcnn_merge_fused (conv+merge in one kernel) —
+        # measured 5 ms SLOWER than the separate merge kernel at the
+        # bench geometry (bit-identical; KERNEL_NOTES 4e negative)
         from .ops.pallas_srcnn import srcnn_y_fused
 
         y_sr = srcnn_y_fused(up[:, 0], weights)

@@ -76,6 +76,26 @@ def test_merge_fused_declines_tiny_planes():
     assert merge_ycrcb_to_bgr_fused(y, up) is None
 
 
+@pytest.mark.parametrize("b,h,w", [(2, 48, 200), (1, 64, 96), (3, 41, 130)])
+def test_srcnn_merge_fused_bit_equal(weights, b, h, w):
+    # round-4e: conv + quantize + merge + inverse color in ONE kernel —
+    # bit-identical to the separate srcnn_y_fused + merge composition
+    # (incl. the conv3 feature-column clamp via the BGR column recompute)
+    import jax.numpy as jnp
+
+    from srcnn_cpp_tpu.ops.color import ycrcb2bgr_u8_planar
+    from srcnn_cpp_tpu.ops.pallas_srcnn import (srcnn_merge_fused,
+                                                srcnn_y_fused)
+
+    rng = np.random.default_rng(b + h + w)
+    up = rng.integers(0, 256, (b, 3, h, w), dtype=np.uint8)
+    got = srcnn_merge_fused(jnp.asarray(up), weights)
+    y_sr = srcnn_y_fused(jnp.asarray(up[:, 0]), weights)
+    ref = ycrcb2bgr_u8_planar(jnp.stack(
+        [y_sr, jnp.asarray(up[:, 1]), jnp.asarray(up[:, 2])], axis=1))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_pipeline_fused_post_pass_engages(weights):
     # x2 on an aligned geometry: the fused pipeline output must stay within
     # the pre-pass boundary-flip tolerance of the exact path (the post-pass

@@ -96,7 +96,7 @@ refm = ycrcb2bgr_u8_planar(jnp.stack(
 res["fused_merge_ragged_max_lsb"] = int(np.abs(
     np.asarray(got).astype(int) - np.asarray(refm).astype(int)).max())
 
-# whole fused pipeline (pre + conv + post Pallas) vs the exact path
+# whole fused pipeline (pre + conv+merge-in-one-kernel) vs the exact path
 from srcnn_cpp_tpu.pipeline import _upscale_planar_jit
 xf = np.random.default_rng(5).integers(0, 256, (2, 3, 128, 256),
                                        dtype=np.uint8)
@@ -104,6 +104,17 @@ a = np.asarray(_upscale_planar_jit(xf, w, (256, 512), "pallas", "exact"))
 b = np.asarray(_upscale_planar_jit(xf, w, (256, 512), "pallas", "fused"))
 res["fused_pipeline_max_lsb"] = int(np.abs(a.astype(int)
                                            - b.astype(int)).max())
+
+# conv+quantize+merge single-kernel path vs the separate composition
+from srcnn_cpp_tpu.ops.pallas_srcnn import srcnn_merge_fused, srcnn_y_fused
+upm2 = np.random.default_rng(8).integers(0, 256, (2, 3, 96, 200),
+                                         dtype=np.uint8)
+gm = srcnn_merge_fused(jnp.asarray(upm2), w)
+rm = ycrcb2bgr_u8_planar(jnp.stack(
+    [srcnn_y_fused(jnp.asarray(upm2[:, 0]), w),
+     jnp.asarray(upm2[:, 1]), jnp.asarray(upm2[:, 2])], axis=1))
+res["conv_merge_fused_max_lsb"] = int(np.abs(
+    np.asarray(gm).astype(int) - np.asarray(rm).astype(int)).max())
 
 # pallas-inside-shard_map tiled paths (Mosaic on real chip), 1-D and 2-D
 import jax
@@ -150,5 +161,6 @@ def test_tpu_golden_gates():
     assert res["fused_pre_s2_max_lsb"] == 0          # x1.5 parity planes
     assert res["fused_merge_ragged_max_lsb"] == 0    # bit-identical on chip
     assert res["fused_pipeline_max_lsb"] == 0        # bit-identical on chip
+    assert res["conv_merge_fused_max_lsb"] == 0      # one-kernel conv+merge
     assert res.get("pallas_tiled_max_lsb", 0) <= 1
     assert res.get("fused_pre_rows_max_lsb", 0) == 0
