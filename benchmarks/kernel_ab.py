@@ -80,9 +80,11 @@ def _experiment(name: str):
         b, h, w = (8, H4K, W4K) if "4k" in sys.argv[2:] else (32, 1080, 1920)
         wc = b * (w + 8)
         th = 80 if "4k" in sys.argv[2:] else 72
-        layouts = ["base", "c1m", "c1two", "c2dots", "c3dots",
-                   "c2dots+c3dots", "c1m+c2dots+c3dots",
-                   "c1two+c2dots+c3dots"]
+        layouts = (["base", "c2m", "c2b", "c3m", "c2m+c3m", "c2b+c3m"]
+                   if "m" in sys.argv[2:] else
+                   ["base", "c1m", "c1two", "c2dots", "c3dots",
+                    "c2dots+c3dots", "c1m+c2dots+c3dots",
+                    "c1two+c2dots+c3dots"])
         cases = []
         for spec in layouts:
             lay = frozenset(spec.split("+")) - {"base"}

@@ -37,6 +37,7 @@ VARIANTS = [
     ("conv1+2", frozenset({"conv3"})),
     ("conv1", frozenset({"conv2"})),
     ("conv1/no-concat", frozenset({"conv2", "concat"})),
+    ("dma+cast+cc", frozenset({"conv2", "concat", "c1dot"})),
 ]
 
 
@@ -76,7 +77,8 @@ def main() -> None:
     print(f"  conv3 matmuls : {1e3*(best['no-stencil'] - best['conv1+2']):7.2f}")
     print(f"  conv2 matmuls : {1e3*(best['conv1+2'] - best['conv1']):7.2f}")
     print(f"  rp concat     : {1e3*(best['conv1'] - best['conv1/no-concat']):7.2f}")
-    print(f"  conv1+dma+cast: {1e3*best['conv1/no-concat']:7.2f}")
+    print(f"  conv1 dot     : {1e3*(best['conv1/no-concat'] - best['dma+cast+cc']):7.2f}")
+    print(f"  dma+cast+cc   : {1e3*best['dma+cast+cc']:7.2f}")
 
 
 if __name__ == "__main__":

@@ -123,10 +123,24 @@ def _prep_weights(weights, stacked: bool = True,
         c1 = (jnp.concatenate([w1h, w1l], axis=1),)       # (64, 192)
     if "c2dots" in layout:
         c2 = (jnp.concatenate([w2h, w2h], axis=1), w2l)   # (32,128)+(32,64)
+    elif "c2m" in layout:
+        # M-stack the hi-operand products to a FULL-M dot (the round-4
+        # decomposition measured the M=32 K-stacked dot at ~103 TFLOP/s
+        # vs conv1's ~169 at M=64 — half the array rows idle)
+        c2 = (jnp.concatenate([w2h, w2l], axis=0), w2h)   # (64,64)+(32,64)
+    elif "c2b" in layout:
+        # single block dot: [[w2h, w2h], [w2l, 0]] (64, 128) @ [f1h; f1l]
+        # — rows 0:32 = w2h@f1h + w2h@f1l, rows 32:64 = w2l@f1h
+        z = jnp.zeros_like(w2h)
+        c2 = (jnp.concatenate(
+            [jnp.concatenate([w2h, w2h], axis=1),
+             jnp.concatenate([w2l, z], axis=1)], axis=0),)  # (64, 128)
     else:
         c2 = (jnp.concatenate([w2h, w2l, w2h], axis=1),)  # (32, 192)
     if "c3dots" in layout:
         c3 = (jnp.concatenate([w3h, w3h], axis=1), w3l)   # (32,64)+(32,32)
+    elif "c3m" in layout:
+        c3 = (jnp.concatenate([w3h, w3l], axis=0), w3h)   # (64,32)+(32,32)
     else:
         c3 = (jnp.concatenate([w3h, w3l, w3h], axis=1),)  # (32, 96)
     return (*c1, *c2, *c3, b1, b2, b3)
@@ -280,8 +294,8 @@ def _kernel_stacked(y_ref, *refs,
     recompute is needed outside the kernel (left/right columns still are).
     """
     n1 = 2 if "c1two" in layout else 1
-    n2 = 2 if "c2dots" in layout else 1
-    n3 = 2 if "c3dots" in layout else 1
+    n2 = 2 if ("c2dots" in layout or "c2m" in layout) else 1
+    n3 = 2 if ("c3dots" in layout or "c3m" in layout) else 1
     w1refs = refs[:n1]
     w2refs = refs[n1:n1 + n2]
     w3refs = refs[n1 + n2:n1 + n2 + n3]
@@ -387,7 +401,11 @@ def _kernel_stacked(y_ref, *refs,
             one = jnp.concatenate(halves, axis=1)
             rp = one if single_rp else \
                 jnp.concatenate([one, one], axis=0)    # (192, nr*tw4) bf16
-        if "c1m" in layout:
+        if "c1dot" in ablate:
+            # profiling only: skip the conv1 MXU dot (wrong values, same
+            # shapes) — isolates the dot from the DMA+cast+cc share
+            f1 = rp[0:64, :].astype(jnp.float32) + b1
+        elif "c1m" in layout:
             p = dot(w1[0], rp)                         # (128, nr*tw4) f32
             f1 = jnp.maximum(p[0:64, :] + p[64:128, :] + b1, 0.0)
         elif "c1two" in layout:
@@ -409,6 +427,13 @@ def _kernel_stacked(y_ref, *refs,
             f2 = jnp.maximum(
                 dot(w2[0], jnp.concatenate([f1h, f1l], axis=0))
                 + dot(w2[1], f1h) + b2, 0.0)
+        elif "c2m" in layout:
+            pm = dot(w2[0], f1h)                       # (64, nr*tw4) f32
+            f2 = jnp.maximum(
+                pm[0:32, :] + pm[32:64, :] + dot(w2[1], f1l) + b2, 0.0)
+        elif "c2b" in layout:
+            pm = dot(w2[0], jnp.concatenate([f1h, f1l], axis=0))
+            f2 = jnp.maximum(pm[0:32, :] + pm[32:64, :] + b2, 0.0)
         else:
             f2 = jnp.maximum(
                 dot(w2[0], jnp.concatenate([f1h, f1h, f1l], axis=0)) + b2,
@@ -421,6 +446,9 @@ def _kernel_stacked(y_ref, *refs,
         if "c3dots" in layout:
             q = dot(w3[0], jnp.concatenate([f2h, f2l], axis=0)) \
                 + dot(w3[1], f2h)                      # (32, nr*tw4)
+        elif "c3m" in layout:
+            pq = dot(w3[0], f2h)                       # (64, nr*tw4) f32
+            q = pq[0:32, :] + pq[32:64, :] + dot(w3[1], f2l)
         else:
             q = dot(w3[0], jnp.concatenate([f2h, f2h, f2l], axis=0))
         if "stencil" in ablate:
