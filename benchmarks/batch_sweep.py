@@ -29,6 +29,11 @@ from srcnn_cpp_tpu.runtime import enable_compilation_cache
 from srcnn_cpp_tpu.weights import load_weights
 
 ITERS = 4
+#: resize mode for the swept pipeline (the production default is the
+#: fused Pallas pre/post passes; BENCH_RESIZE=exact for the XLA engines)
+import os
+
+RESIZE = os.environ.get("BENCH_RESIZE", "fused")
 
 
 def main() -> None:
@@ -50,7 +55,7 @@ def main() -> None:
         out = None
         for _ in range(n):
             out = _upscale_planar_jit(frames[b].at[0, 0, 0, 0].add(dep),
-                                      weights, (oh, ow), "pallas", "exact")
+                                      weights, (oh, ow), "pallas", RESIZE)
             dep = out[0, 0, 0, 0] * 0
         # completion fence: a host fetch of a dependent scalar (the relay's
         # block_until_ready is not a reliable barrier)
