@@ -131,23 +131,27 @@ def test_fused_pre_generalized_plan(oh, ih, ow, iw, which):
 
 
 def test_fused_pre_fuzz_random_geometries():
-    # randomized integer-upscale geometries: odd widths/heights exercise
-    # ragged tile overshoot, phase interleaves and the padding arithmetic
+    # randomized geometries across ALL plan families — integer upscales
+    # (strict), x1.5 and x0.5 (S=2 parity planes): odd widths/heights
+    # exercise ragged tile overshoot, phase interleaves and the padding
+    # arithmetic
+    from srcnn_cpp_tpu.ops.resize import scaled_size
     from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
 
     rng = np.random.default_rng(42)
     tried = 0
-    for _ in range(12):
-        s = int(rng.integers(2, 5))
-        ih = int(rng.integers(9, 70))
-        iw = int(rng.integers(33, 400))
-        out_hw = (ih * s, iw * s)
-        if out_hw[0] < 8 or out_hw[1] < 128:
+    scales = [2, 3, 4, 1.5, 0.5]
+    for i in range(15):
+        s = scales[i % len(scales)]
+        ih = int(rng.integers(9, 70)) * (2 if s == 0.5 else 1)
+        iw = int(rng.integers(33, 400)) * (2 if s == 0.5 else 1)
+        ow, oh = scaled_size(iw, ih, s)
+        if oh < 8 or ow < 128:
             continue
         x = rng.integers(0, 256, (1, 3, ih, iw), dtype=np.uint8)
-        got = pre_upscale_fused(x, out_hw)
-        if got is None:      # geometry without a step-1 phase plan
+        got = pre_upscale_fused(x, (oh, ow))
+        if got is None:      # geometry without a step<=2 phase plan
             continue
         tried += 1
-        _assert_parity(got, _ref(x, out_hw))
-    assert tried >= 6, f"fuzz covered only {tried} geometries"
+        _assert_parity(got, _ref(x, (oh, ow)))
+    assert tried >= 8, f"fuzz covered only {tried} geometries"
