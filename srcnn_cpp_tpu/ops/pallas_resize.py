@@ -453,16 +453,26 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
             *nb3, sv * sh, need_r // sv, need_c // sh)
     # generalized-plan coefficient planes: pad to the grid extent so the
     # blocked in_specs tile them exactly (padding feeds only cropped rows/
-    # cols); tiny f32 constants embedded at trace time
+    # cols).  NumPy tables (the monolith) embed as tiny trace-time
+    # constants; jnp arrays (a sharded caller's per-device slices) pad
+    # with traced ops.
     vcf_j = hcf_j = None
     if vc is None:
-        v = np.zeros((pv, 4, gh * tih, 1), np.float32)
-        v[:, :, :vcf.shape[2], 0] = vcf
-        vcf_j = jnp.asarray(v)
+        if isinstance(vcf, jnp.ndarray):
+            vcf_j = jnp.pad(vcf, ((0, 0), (0, 0),
+                                  (0, gh * tih - vcf.shape[2])))[..., None]
+        else:
+            v = np.zeros((pv, 4, gh * tih, 1), np.float32)
+            v[:, :, :vcf.shape[2], 0] = vcf
+            vcf_j = jnp.asarray(v)
     if hc is None:
-        hcol = np.zeros((ph, 4, 1, gw * tiw), np.float32)
-        hcol[:, :, 0, :hcf.shape[2]] = hcf
-        hcf_j = jnp.asarray(hcol)
+        if isinstance(hcf, jnp.ndarray):
+            hcf_j = jnp.pad(hcf, ((0, 0), (0, 0),
+                                  (0, gw * tiw - hcf.shape[2])))[:, :, None]
+        else:
+            hcol = np.zeros((ph, 4, 1, gw * tiw), np.float32)
+            hcol[:, :, 0, :hcf.shape[2]] = hcf
+            hcf_j = jnp.asarray(hcol)
     return _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
                            gh, gw, sv=sv, sh=sh, rowinter=rowinter,
                            ablate=ablate, vcf=vcf_j,

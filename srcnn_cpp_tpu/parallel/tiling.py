@@ -388,26 +388,46 @@ def _halo_exchange_cols_asym(y, lft: int, rgt: int, axis_name: str = "col"):
 @partial(jax.jit, static_argnames=("mesh", "statics", "oh_loc", "ow_loc",
                                    "top", "bot", "lft", "rgt", "batch_axis"))
 def _pre_fused_grid_call(x, mesh, statics, oh_loc, ow_loc, top, bot,
-                         lft, rgt, batch_axis):
+                         lft, rgt, batch_axis, vcf=None, hcf=None):
     """Sharded fused pre-pass: rows over ``row``, cols over ``col`` (when
-    ``lft`` is nonzero), one Pallas kernel per device block."""
-    spec = P(batch_axis, None, "row", "col" if lft else None)
+    ``lft`` is nonzero), one Pallas kernel per device block.
 
-    def fn(blk):
+    ``vcf``/``hcf`` are the GENERALIZED plan's per-output coefficient
+    planes (ops/pallas_resize._pre_plans); they shard alongside the
+    output — vcf (pv, 4, oh/pv) over ``row``, hcf (ph, 4, ow/ph) over
+    ``col`` — because every device's first output row/col is a phase-
+    period multiple, so its local slice is exactly its rows'/cols'
+    coefficients.
+    """
+    spec = P(batch_axis, None, "row", "col" if lft else None)
+    in_specs = [spec]
+    args = [x]
+    if vcf is not None:
+        in_specs.append(P(None, None, "row"))
+        args.append(vcf)
+    if hcf is not None:
+        in_specs.append(P(None, None, "col" if lft else None))
+        args.append(hcf)
+
+    def fn(blk, *coefs):
         from ..ops.pallas_resize import _apply_fused_pre
 
+        it = iter(coefs)
+        v = next(it) if vcf is not None else None
+        hh = next(it) if hcf is not None else None
         ext = _halo_exchange_rows_asym(blk, top, bot)   # [b, 3, Hi+t+b, W]
         if lft:
             ext = _halo_exchange_cols_asym(ext, lft, rgt)
         return _apply_fused_pre(ext, oh_loc, ow_loc, statics,
-                                rows_above=top, cols_left=lft)
+                                rows_above=top, cols_left=lft,
+                                vcf=v, hcf=hh)
 
     return shard_map(
-        fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        fn, mesh=mesh, in_specs=tuple(in_specs), out_specs=spec,
         # pallas_call's out_shape carries no varying-mesh-axes info, so
         # the vma checker cannot see through the kernel
         check_vma=False,
-    )(x)
+    )(*args)
 
 
 def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
@@ -433,10 +453,17 @@ def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
 
     Returns None when no step-1 phase plan exists or the mesh does not
     divide the geometry (callers fall back to the GSPMD-sharded XLA
-    engine).  The semantic counterpart of the reference's per-channel
-    OpenCV resize (src/srcnn.cpp:570-583), sharded.
+    engine).  GENERALIZED coefficient plans (non-power-of-2 scales past
+    OpenCV's f32 drift boundary, ops/pallas_resize._pre_plans) are
+    supported by sharding the per-output coefficient planes alongside
+    the rows/cols; S=2 parity plans are NOT (the halo shifts the parity
+    per device) — those decline to the GSPMD engine.  The semantic
+    counterpart of the reference's per-channel OpenCV resize
+    (src/srcnn.cpp:570-583), sharded.
     """
-    from ..ops.pallas_resize import _pre_statics
+    import jax.numpy as jnp
+
+    from ..ops.pallas_resize import _pre_plans
 
     oh, ow = int(out_hw[0]), int(out_hw[1])
     squeeze = bgr_p.ndim == 3
@@ -452,9 +479,11 @@ def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
     # batch shards over data only when it divides; replicated otherwise
     # (the single-frame 8K config runs on (data, row) meshes with B == 1)
     batch_axis = "data" if ndata > 1 and b % ndata == 0 else None
-    statics = _pre_statics(oh, ih, ow, iw)
-    if statics is None:
-        return None
+    statics, vcf, hcf = _pre_plans(oh, ih, ow, iw)
+    if statics is None or statics[8:] not in ((), (1, 1)):
+        return None        # no plan, or S=2 parity (parity shifts per
+        # device under the row/col halo) — GSPMD fallback
+    statics = statics[:8]  # canonical legacy form (sv = sh = 1)
     pv, top, ph, left = statics[0], statics[1], statics[2], statics[3]
     if (oh // nrow) % pv:
         return None
@@ -470,6 +499,12 @@ def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
         lft, rgt = left, max_hb - left
         if lft < 1 or rgt < 1 or max(lft, rgt) > iw // ncol:
             return None
+    # generalized coefficient planes: trim to the exact output extent so
+    # the "row"/"col" shardings slice them exactly per device
+    if vcf is not None:
+        vcf = jnp.asarray(vcf[:, :, :oh // pv])
+    if hcf is not None:
+        hcf = jnp.asarray(hcf[:, :, :ow // ph])
     sharding = NamedSharding(
         mesh, P(batch_axis, None, "row", "col" if ncol > 1 else None))
     # traced callers (a jitted config step) use a constraint; eager callers
@@ -477,7 +512,8 @@ def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
     xs = (lax.with_sharding_constraint(x, sharding)
           if isinstance(x, jax.core.Tracer) else jax.device_put(x, sharding))
     out = _pre_fused_grid_call(xs, mesh, statics, oh // nrow, ow // ncol,
-                               top, bot, lft, rgt, batch_axis)
+                               top, bot, lft, rgt, batch_axis,
+                               vcf=vcf, hcf=hcf)
     return out[0] if squeeze else out
 
 

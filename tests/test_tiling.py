@@ -212,6 +212,28 @@ def test_pre_upscale_fused_rows_declines(weights, mesh24):
     assert pre_upscale_fused_rows(x3, (128, 1268), mesh2d) is None
 
 
+def test_pre_upscale_fused_rows_generalized_plan(weights, mesh24):
+    # x3 past OpenCV's f32 coefficient-drift boundary (output rows >=
+    # 1536): the per-output coefficient planes shard over ``row`` and the
+    # stitched plane still matches the engine (round-4 extension; S=2
+    # parity plans remain declined for sharding — parity shifts per
+    # device)
+    from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+    from srcnn_cpp_tpu.parallel import pre_upscale_fused_rows
+
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, 256, (2, 3, 540, 96), dtype=np.uint8)
+    got = pre_upscale_fused_rows(x, (1620, 288), mesh24)
+    assert got is not None
+    ref = resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (1620, 288))
+    d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-4, (d.max(), (d > 0).mean())
+    # x1.5 (S=2 parity) declines on a mesh -> GSPMD fallback path
+    x15 = rng.integers(0, 256, (2, 3, 64, 192), dtype=np.uint8)
+    assert pre_upscale_fused_rows(x15, (96, 288), mesh24) is None
+
+
 def test_pre_upscale_fused_2d_matches_monolith(weights):
     # 2-D (row, col) mesh: per-device kernel with BOTH row and lane
     # ppermute halos stitches to the monolithic kernel's plane (round-4

@@ -139,6 +139,16 @@ if len(jax.devices()) >= 1:
     pe = resize_bicubic_u8(bgr2ycrcb_u8_planar(xs), (128, 320))
     res["fused_pre_rows_max_lsb"] = int(np.abs(
         np.asarray(ps).astype(int) - np.asarray(pe).astype(int)).max())
+
+    # sharded GENERALIZED plan (x3 drift geometry): coef planes sharded
+    # over "row" + Mosaic lowering of the coef-plane kernel under
+    # shard_map (1-device mesh; multi-device slicing is CPU-covered)
+    xg2 = np.random.default_rng(9).integers(0, 256, (1, 3, 540, 96),
+                                            dtype=np.uint8)
+    pg = pre_upscale_fused_rows(xg2, (1620, 288), mesh)
+    eg2 = resize_bicubic_u8(bgr2ycrcb_u8_planar(xg2), (1620, 288))
+    res["fused_pre_rows_general_max_lsb"] = int(np.abs(
+        np.asarray(pg).astype(int) - np.asarray(eg2).astype(int)).max())
 print("RESULT " + json.dumps(res))
 """
 
@@ -164,3 +174,4 @@ def test_tpu_golden_gates():
     assert res["conv_merge_fused_max_lsb"] == 0      # one-kernel conv+merge
     assert res.get("pallas_tiled_max_lsb", 0) <= 1
     assert res.get("fused_pre_rows_max_lsb", 0) == 0
+    assert res.get("fused_pre_rows_general_max_lsb", 0) == 0
