@@ -36,6 +36,14 @@ wrapper.  conv3's *feature-level* clamp at true image edges
 (srcnn.cpp:200-210) differs from virtual-input extension in exactly the
 outermost 2 rows/cols — the wrapper always recomputes that 2-px frame with
 the XLA path (~2% extra work at 4K) instead of branching inside the kernel.
+
+Round-4 additions: the kernel quantizes IN-KERNEL (conv3 bias +
+IntTrim clip/truncate, u8 store — the XLA quantize pass cost a full f32
+HBM round-trip); ``layout``/``ablate`` statics expose the measured-
+negative dot restructures and profiling knockouts (KERNEL_NOTES 4a-4d);
+``crcb`` additionally fuses the merge post-pass (bit-identical, measured
+5 ms SLOWER than the separate merge kernel — kept as the reproduction
+artifact, 4e).
 """
 
 from __future__ import annotations
