@@ -57,8 +57,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .color import _B2Y, _CB2G, _CB2B, _CR2G, _CR2R, _DELTA, _G2Y, _R2CR, \
-    _B2CB, _R2Y, _descale_f32
+from .color import _B2Y, _B2CB, _DELTA, _G2Y, _R2CR, _R2Y, _descale_f32
 from .resize import _hphase_plan, _hphase_plan_s, _phase_idx_plan, \
     _vphase_plan
 from .resize_tables import cv_cubic_tables
