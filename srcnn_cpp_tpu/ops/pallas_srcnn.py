@@ -743,6 +743,8 @@ def srcnn_merge_fused(up, weights):
     from .color import ycrcb2bgr_u8_planar
 
     m = min(2, w)
+    # zeros base: _fix_edges_batch only WRITES the edge columns/corners,
+    # and only those regions are read below — the interior is never used
     yfix = _fix_edges_batch(jnp.zeros_like(y_u8), y_u8, weights)
     for sl in (slice(0, m), slice(w - m, w)):
         strip = jnp.stack(
