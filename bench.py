@@ -82,14 +82,22 @@ def main() -> None:
     h, w = frame.shape[:2]
     ow, oh = scaled_size(w, h, SCALE)
 
-    def step(x):
-        return _upscale_planar_jit(x, weights, (oh, ow), KERNEL, RESIZE)
+    import jax as _jax
+
+    @_jax.jit
+    def step(x, dep):
+        # the chaining data dependency is folded INTO the jitted program:
+        # an eager x.at[...].add(dep) would add a full input copy and an
+        # extra dispatch of pure measurement scaffolding to every chained
+        # iteration; in-jit XLA fuses the add into the first consumer
+        return _upscale_planar_jit(x.at[0, 0, 0, 0].add(dep), weights,
+                                   (oh, ow), KERNEL, RESIZE)
 
     def chain(n, dep):
         out = None
         for _ in range(n):
             # data dependency chains the dispatches without reshaping I/O
-            out = step(batch.at[0, 0, 0, 0].add(dep))
+            out = step(batch, dep)
             dep = out[0, 0, 0, 0] * 0
         # fence on a tiny slice: completion without bulk download (the dev
         # tunnel's ~30 MB/s would otherwise dominate the span; production
