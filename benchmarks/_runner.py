@@ -2,7 +2,7 @@
 
 All decision-grade measurements in this repo follow one protocol
 (KERNEL_NOTES rounds 2-4), factored here so the harnesses
-(kernel_ab, kernel_ablate, prepost_ab, hmode_ab, ...) cannot drift:
+(the ab.py and profile.py subcommands) cannot drift:
 
 * ONE process, variants INTERLEAVED best-of-N — the shared chip drifts
   ±20% across processes and ±5% across minutes, so only same-process

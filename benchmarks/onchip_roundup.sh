@@ -26,11 +26,11 @@ FAIL=0
   BENCH_SCALE=1.5 timeout 1800 python bench.py || FAIL=1
   BENCH_SCALE=3 timeout 1800 python bench.py || FAIL=1
   echo "=== 3. pipe ablation (fused attribution) ==="
-  timeout 3600 python benchmarks/pipe_ablate.py || FAIL=1
+  timeout 3600 python benchmarks/profile.py pipe || FAIL=1
   echo "=== 4. kernel/pre/post sweeps (optional tuning) ==="
-  timeout 1800 python benchmarks/kernel_ablate.py packed || true
-  timeout 1800 python benchmarks/prepost_ab.py pre || true
-  timeout 1800 python benchmarks/prepost_ab.py post || true
+  timeout 1800 python benchmarks/ab.py ablate packed || true
+  timeout 1800 python benchmarks/ab.py prepost pre || true
+  timeout 1800 python benchmarks/ab.py prepost post || true
   date
   echo "roundup_exit=$FAIL"
   exit $FAIL

@@ -88,7 +88,7 @@ def merge_ycrcb_to_bgr_fused(y_sr, up, tile: tuple[int, int] | None = None):
     Pallas's masked boundary blocks, so every geometry is covered.  Returns
     None only for planes too small to be worth a kernel launch; the caller
     falls back to the XLA path.  ``tile`` overrides the (th, tw) policy
-    for on-chip sweeps (benchmarks/prepost_ab.py).
+    for on-chip sweeps (benchmarks/ab.py prepost).
     """
     nb, oh, ow = y_sr.shape
     if oh < 8 or ow < 128:

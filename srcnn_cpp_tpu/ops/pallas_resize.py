@@ -407,11 +407,11 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
     rows, iw = x.shape[-2:]
     # tile size: tih rows / tiw lanes PER PHASE (output tile pv*tih x
     # ph*tiw); shrink for short/narrow planes.  ``tile`` overrides for
-    # on-chip sweeps (benchmarks/prepost_ab.py).
+    # on-chip sweeps (benchmarks/ab.py prepost).
     if tile is not None:
         tih, tiw = tile
     else:
-        # round-4 on-chip sweep (benchmarks/prepost_ab.py, KERNEL_NOTES
+        # round-4 on-chip sweep (benchmarks/ab.py prepost, KERNEL_NOTES
         # 4c): tiw must round UP so a phase's full width rides ONE block
         # when it fits — the round-3 policy's round-DOWN split 960 cols
         # into a full block plus a 64-useful-col runt and cost ~30%

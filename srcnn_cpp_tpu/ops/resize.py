@@ -266,7 +266,7 @@ def _resize_bicubic_u8_2d(img, oh: int, ow: int, hmode: str = "dense"):
         out = jnp.stack(cols, axis=2).reshape(oh, nmax * P)
         return out[:, :ow]
     # NOTE: the dense band matmul multiplies mostly zeros, but an on-chip
-    # in-pipeline A/B (benchmarks/pipe_ablate.py) measured the block-banded
+    # in-pipeline A/B (benchmarks/profile.py pipe) measured the block-banded
     # form 2.5 ms SLOWER at batch-32 1080p — the per-group stack/transpose
     # relayouts cost more than the MXU idle-FLOPs they save.  Dense stays
     # the default; hmode="block" keeps the banded form for A/Bs.
@@ -359,7 +359,7 @@ def resize_bicubic_u8(img, out_hw: tuple[int, int], hmode: str = "dense"):
     static ``(out_h, out_w)``.  Returns uint8 ``[..., out_h, out_w]``.
 
     ``hmode`` selects the horizontal-pass implementation — all three are
-    bit-identical; on-chip in-pipeline A/Bs (benchmarks/pipe_ablate.py)
+    bit-identical; on-chip in-pipeline A/Bs (benchmarks/profile.py pipe)
     measured "dense" fastest, so it is the default:
 
     * ``"dense"`` — dense banded matmul on the MXU (mostly zero FLOPs, but

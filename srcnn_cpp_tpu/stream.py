@@ -16,7 +16,7 @@ NOTE on measuring throughput here: a stream run round-trips every frame
 through host memory by design (decode in, encode out).  On a production
 host that transfer is PCIe-speed; on this repo's development tunnel it is
 ~10-30 MB/s, which caps any stream benchmark at a few fps regardless of
-``batch`` — use bench.py / benchmarks/batch_sweep.py (device-resident
+``batch`` — use bench.py / benchmarks/profile.py batch (device-resident
 frames) for compute throughput.
 """
 
