@@ -35,6 +35,11 @@ bit-check of every non-ablate variant against its anchor before timing.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
+
+# self-sufficient invocation: `python benchmarks/ab.py` puts benchmarks/
+# on sys.path, not the repo root the package lives in
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

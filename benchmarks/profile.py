@@ -43,6 +43,11 @@ import os
 import sys
 import time
 from functools import partial
+from pathlib import Path
+
+# self-sufficient invocation: `python benchmarks/profile.py` puts
+# benchmarks/ on sys.path, not the repo root the package lives in
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

@@ -36,15 +36,19 @@ Mosaic contracts f32 mul+add, and the engine itself is verified bit-exact
 vs OpenCV on chip (EVAL.md); the on-chip gate for this kernel is
 bit-identity (tests/test_tpu.py).
 
-Scope: geometries whose TAP INDICES are step-1 periodic on both axes —
-i.e. integer upscales (x2 is every BASELINE config).  Coefficients may
-either repeat bitwise (strict plan: static scalars) or vary per output
-row/column (generalized plan: blocked coefficient-plane inputs) — the
-latter covers non-power-of-2 integer upscales past output 1536, where
-OpenCV's float32 fractional offsets stop repeating bitwise (found via
-the round-4 x3 bench: 540p x3 silently fell back to the XLA engines).
-The wrapper returns None for fractional scales and the caller falls
-back to the XLA engines.
+Scope: geometries whose TAP INDICES are periodic with source step
+S <= 4 on both axes.  S=1 covers integer upscales (x2 is every BASELINE
+config); S>1 plans (x1.5: S=2; x1.25/x0.75: S=4; 2:1/3:1/4:1
+downscales: P=1) ride parity-deinterleaved input planes — the padded
+input relayouts once into sv*sh quadrant planes so every kernel tap is
+again a contiguous slice.  Coefficients may either repeat bitwise
+(strict plan: static scalars) or vary per output row/column
+(generalized plan: blocked coefficient-plane inputs) — the latter
+covers non-power-of-2 integer upscales past output 1536, where OpenCV's
+float32 fractional offsets stop repeating bitwise (found via the
+round-4 x3 bench: 540p x3 silently fell back to the XLA engines).  The
+wrapper returns None for scales with no S<=4 period (e.g. x1.2: S=5)
+and the caller falls back to the XLA engines.
 """
 
 from __future__ import annotations
@@ -63,6 +67,15 @@ from .resize import _hphase_plan, _hphase_plan_s, _phase_idx_plan, \
 from .resize_tables import cv_cubic_tables
 
 __all__ = ["pre_upscale_fused"]
+
+#: largest source step admitted by the plan search.  The kernel itself is
+#: S-agnostic (quadrant arithmetic is generic in sv/sh); the cap bounds
+#: the parity-quadrant count sq = sv*sh (slab scratch and its f32
+#: color-converted copy scale with sq — the tile policy shrinks tiw for
+#: sq > 4 to stay inside VMEM).  S=4 admits x1.25/x1.75/x0.75 and 3:1/
+#: 4:1 downscales; the next useful step (x1.2: S=5 -> sq 25) would need
+#: tiles too small to be worth a kernel launch.
+_MAX_S = 4
 
 
 def _kernel(bgr_ref, *refs, tih: int, tiw: int,
@@ -340,11 +353,12 @@ def _pre_plans(oh: int, ih: int, ow: int, iw: int):
     bitwise — ops/resize._phase_idx_plan), that axis's ``vc``/``hc``
     static is None and the full per-output coefficient table is returned
     as a (P, 4, n) float32 plane instead, fed to the kernel as a blocked
-    input.  Source steps up to 2 are admitted on both axes (x1.5: P=3,
-    S=2) — the kernel realizes S=2 via parity-deinterleaved input planes,
-    where every tap is again a contiguous slice.  Numerics are identical
-    in all variants: same coefficient values in the same chain order as
-    the engine's gather form.
+    input.  Source steps up to ``_MAX_S`` are admitted on both axes
+    (x1.5: P=3, S=2; x1.25: P=5, S=4; x0.75: P=3, S=4) — the kernel
+    realizes S>1 via parity-deinterleaved input planes, where every tap
+    is again a contiguous slice.  Numerics are identical in all
+    variants: same coefficient values in the same chain order as the
+    engine's gather form.
 
     Returns the extended statics ``(pv, top, ph, left, vb, vc, hb, hc,
     sv, sh)``; the legacy 8-tuple from :func:`_pre_statics` (implies
@@ -352,12 +366,12 @@ def _pre_plans(oh: int, ih: int, ow: int, iw: int):
     sharded path keeps using it.
     """
     vplan = _vphase_plan(oh, ih)
-    if vplan is not None and vplan[1] <= 2:
+    if vplan is not None and vplan[1] <= _MAX_S:
         pv, sv, top, _, vb_l, vc_l = vplan
         vb, vc = _plan_static(vb_l, vc_l)
         vcf = None
     else:
-        g = _phase_idx_plan(oh, ih, max_s=2)
+        g = _phase_idx_plan(oh, ih, max_s=_MAX_S)
         if g is None:
             return None, None, None
         pv, sv, top, _, vb_l = g
@@ -365,13 +379,13 @@ def _pre_plans(oh: int, ih: int, ow: int, iw: int):
         vc = None
         _, _, yfc = cv_cubic_tables(oh, ih)
         vcf = _phase_coefs(np.asarray(yfc), pv)
-    hplan = _hphase_plan_s(ow, iw, max_s=2)
+    hplan = _hphase_plan_s(ow, iw, max_s=_MAX_S)
     if hplan is not None:
         ph, sh, left, _, hb_l, hc_l = hplan
         hb, hc = _plan_static(hb_l, hc_l)
         hcf = None
     else:
-        g = _phase_idx_plan(ow, iw, max_s=2)
+        g = _phase_idx_plan(ow, iw, max_s=_MAX_S)
         if g is None:
             return None, None, None
         ph, sh, left, _, hb_l = g
@@ -418,7 +432,12 @@ def _apply_fused_pre(x, oh: int, ow: int, statics, rows_above: int = 0,
         # (16.93 vs 12.96 ms at the bench geometry).  Taller tiles
         # measured flat (32/48/64 x 1024 within 0.5%), so tih stays 32.
         tih = max(8, min(32, (oh // pv) // 8 * 8))
-        tiw = max(128, min(1024, -(-(ow // ph) // 128) * 128))
+        # slab scratch (2 x sq quadrant buffers) and its f32
+        # color-converted copy scale with sq = sv*sh: shrink the lane
+        # tile for high-step plans (x1.25/x0.75: sq 16) to stay in VMEM
+        sq = sv * sh
+        tiw_cap = 1024 if sq <= 4 else (512 if sq <= 8 else 256)
+        tiw = max(128, min(tiw_cap, -(-(ow // ph) // 128) * 128))
     gh = -(-oh // (pv * tih))
     gw = -(-ow // (ph * tiw))
     # slab windows live in PARITY-PLANE coordinates (sv = sh = 1 makes
@@ -483,9 +502,10 @@ def pre_upscale_fused(bgr_p, out_hw: tuple[int, int]):
 
     Fused color+bicubic pre-pass, bit-identical to
     ``resize_bicubic_u8(bgr2ycrcb_u8_planar(x), out_hw)``.  Returns None
-    when the geometry has no step<=2 phase plan on either axis (the
-    caller falls back to the XLA engines); x1.5 (P=3, S=2 both axes)
-    rides the parity-deinterleaved kernel path.
+    when the geometry has no step<=4 phase plan on either axis (the
+    caller falls back to the XLA engines); x1.5 (P=3, S=2), x1.25/x0.75
+    (S=4) and 2:1/3:1/4:1 downscales (P=1) ride the parity-deinterleaved
+    kernel path.
     """
     oh, ow = int(out_hw[0]), int(out_hw[1])
     ih, iw = bgr_p.shape[-2:]

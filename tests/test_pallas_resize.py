@@ -32,6 +32,8 @@ def _assert_parity(got, ref):
     (64, 96, 2), (32, 160, 2), (40, 128, 3), (24, 96, 4),
     (64, 96, 1.5), (54, 172, 1.5), (92, 250, 1.5),   # S=2 parity planes
     (64, 256, 0.5), (126, 300, 0.5),                 # 2:1 downscale (S=2)
+    (64, 128, 1.25), (48, 160, 1.75), (40, 128, 2.5),   # S=4 / S=2
+    (64, 192, 0.75), (63, 384, 1 / 3), (48, 512, 0.25),  # S=4/3/4 down
 ])
 def test_fused_pre_parity_integer_scales(ih, iw, s):
     from srcnn_cpp_tpu.ops.resize import scaled_size
@@ -72,12 +74,12 @@ def test_fused_pre_declines_nonphase_geometries():
     from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
 
     x = np.zeros((1, 3, 64, 128), dtype=np.uint8)
-    # x1.25: the phase plans have source step 4 — beyond the S<=2 the
-    # parity-deinterleaved kernel supports (x1.5's S=2 is now covered,
-    # and so are 2:1 downscales — P=1, S=2 — tested above)
-    assert pre_upscale_fused(x, (80, 160)) is None
-    # x0.75 downscale: source step 4/3, not integer-periodic
-    assert pre_upscale_fused(x, (48, 640)) is None
+    # x1.2: the phase plans have source step 5 — beyond the S<=4 the
+    # parity-deinterleaved kernel supports (x1.25/x0.75's S=4 and the
+    # 3:1/4:1 downscales are now covered, tested above)
+    assert pre_upscale_fused(x, (76, 153)) is None
+    # non-periodic ratio (50/64): no period P<=8 exists
+    assert pre_upscale_fused(x, (50, 256)) is None
     # tiny planes decline too
     assert pre_upscale_fused(np.zeros((1, 3, 2, 16), np.uint8),
                              (4, 32)) is None
@@ -132,26 +134,27 @@ def test_fused_pre_generalized_plan(oh, ih, ow, iw, which):
 
 def test_fused_pre_fuzz_random_geometries():
     # randomized geometries across ALL plan families — integer upscales
-    # (strict), x1.5 and x0.5 (S=2 parity planes): odd widths/heights
-    # exercise ragged tile overshoot, phase interleaves and the padding
-    # arithmetic
+    # (strict), x1.5/x0.5 (S=2 parity planes), x1.25/x0.75 (S=4): odd
+    # widths/heights exercise ragged tile overshoot, phase interleaves
+    # and the padding arithmetic
     from srcnn_cpp_tpu.ops.resize import scaled_size
     from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
 
     rng = np.random.default_rng(42)
     tried = 0
-    scales = [2, 3, 4, 1.5, 0.5]
-    for i in range(15):
+    scales = [2, 3, 4, 1.5, 0.5, 1.25, 0.75]
+    for i in range(21):
         s = scales[i % len(scales)]
-        ih = int(rng.integers(9, 70)) * (2 if s == 0.5 else 1)
-        iw = int(rng.integers(33, 400)) * (2 if s == 0.5 else 1)
+        mult = {0.5: 2, 1.25: 4, 0.75: 4}.get(s, 1)
+        ih = int(rng.integers(9, 70)) * mult
+        iw = int(rng.integers(33, 400)) * (2 if s == 0.5 else mult)
         ow, oh = scaled_size(iw, ih, s)
         if oh < 8 or ow < 128:
             continue
         x = rng.integers(0, 256, (1, 3, ih, iw), dtype=np.uint8)
         got = pre_upscale_fused(x, (oh, ow))
-        if got is None:      # geometry without a step<=2 phase plan
+        if got is None:      # geometry without a step<=4 phase plan
             continue
         tried += 1
         _assert_parity(got, _ref(x, (oh, ow)))
-    assert tried >= 8, f"fuzz covered only {tried} geometries"
+    assert tried >= 12, f"fuzz covered only {tried} geometries"

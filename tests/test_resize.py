@@ -189,9 +189,16 @@ def test_phase_idx_and_s_plan_invariants():
     # 2:1 downscale: P=1, S=2
     d2 = _phase_idx_plan(480, 960, max_s=2)
     assert d2 is not None and d2[:2] == (1, 2)
-    # x1.25: S=4, beyond the max_s=2 the kernel supports
-    assert _hphase_plan_s(160, 128) is None
+    # x1.25: S=4 — beyond an explicit max_s=2 cap, admitted at the
+    # kernel's round-4 cap (pallas_resize._MAX_S == 4)
+    assert _hphase_plan_s(160, 128) is None          # default max_s=2
     assert _phase_idx_plan(160, 128, max_s=2) is None
+    g125 = _phase_idx_plan(160, 128, max_s=4)
+    assert g125 is not None and g125[:2] == (5, 4)
+    h125 = _hphase_plan_s(160, 128, max_s=4)
+    assert h125 is not None and h125[:2] == (5, 4)
+    # x1.2: S=5 — beyond _MAX_S, declines at the kernel cap too
+    assert _phase_idx_plan(153, 128, max_s=4) is None
 
 
 def test_alternate_hpass_modes_bit_identical(cv46_cases):

@@ -80,6 +80,22 @@ e15 = resize_bicubic_u8(bgr2ycrcb_u8_planar(x15), (270, 480))
 res["fused_pre_s2_max_lsb"] = int(np.abs(
     np.asarray(f15).astype(int) - np.asarray(e15).astype(int)).max())
 
+# x1.25 (P=5, S=4 both axes — 16 parity quadrants, the round-4 _MAX_S=4
+# extension) and x0.75 downscale (P=3, S=4): the highest-step quadrant
+# DMA/slice paths must lower through Mosaic bit-identically too
+x125 = np.random.default_rng(9).integers(0, 256, (2, 3, 144, 256),
+                                         dtype=np.uint8)
+f125 = pre_upscale_fused(x125, (180, 320))
+e125 = resize_bicubic_u8(bgr2ycrcb_u8_planar(x125), (180, 320))
+res["fused_pre_s4_max_lsb"] = int(np.abs(
+    np.asarray(f125).astype(int) - np.asarray(e125).astype(int)).max())
+x75 = np.random.default_rng(10).integers(0, 256, (2, 3, 192, 256),
+                                         dtype=np.uint8)
+f75 = pre_upscale_fused(x75, (144, 192))
+e75 = resize_bicubic_u8(bgr2ycrcb_u8_planar(x75), (144, 192))
+res["fused_pre_s4_down_max_lsb"] = int(np.abs(
+    np.asarray(f75).astype(int) - np.asarray(e75).astype(int)).max())
+
 # fused merge post-pass (Mosaic): bit-identical everywhere, including the
 # masked ragged boundary blocks (576 = 4.5 x 128 lanes)
 from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
@@ -169,6 +185,8 @@ def test_tpu_golden_gates():
     assert res["fused_pre_vs_engine_max_lsb"] == 0   # bit-identical on chip
     assert res["fused_pre_general_max_lsb"] == 0     # drifted-coef plan too
     assert res["fused_pre_s2_max_lsb"] == 0          # x1.5 parity planes
+    assert res["fused_pre_s4_max_lsb"] == 0          # x1.25: 16 quadrants
+    assert res["fused_pre_s4_down_max_lsb"] == 0     # x0.75 downscale
     assert res["fused_merge_ragged_max_lsb"] == 0    # bit-identical on chip
     assert res["fused_pipeline_max_lsb"] == 0        # bit-identical on chip
     assert res["conv_merge_fused_max_lsb"] == 0      # one-kernel conv+merge
