@@ -33,6 +33,10 @@ import tempfile
 import time
 from pathlib import Path
 
+# self-sufficient invocation: `python benchmarks/eval_suite.py` puts
+# benchmarks/ on sys.path, not the repo root the package lives in
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent

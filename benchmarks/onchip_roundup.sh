@@ -22,9 +22,10 @@ FAIL=0
   timeout 1800 python bench.py || FAIL=1
   echo "=== 2b. bench x2 exact ==="
   BENCH_RESIZE=exact timeout 1800 python bench.py || FAIL=1
-  echo "=== 2c. bench x1.5 / x3 (per-scale records) ==="
+  echo "=== 2c. bench x1.5 / x3 / x1.25 (per-scale records) ==="
   BENCH_SCALE=1.5 timeout 1800 python bench.py || FAIL=1
   BENCH_SCALE=3 timeout 1800 python bench.py || FAIL=1
+  BENCH_SCALE=1.25 timeout 1800 python bench.py || FAIL=1
   echo "=== 3. pipe ablation (fused attribution) ==="
   timeout 3600 python benchmarks/profile.py pipe || FAIL=1
   echo "=== 4. kernel/pre/post sweeps (optional tuning) ==="
