@@ -120,50 +120,114 @@ def main() -> None:
     }))
 
 
-def _run_with_retries() -> int:
-    """Run the benchmark in a child process with bounded retry/backoff.
+# a trivial jit through the relay: proves backend init + compile + execute
+# + host fetch all work before any multi-minute attempt is committed
+# (round 4 lost its record to two blind 850 s attempts against what was
+# likely a dead/cold relay — rc=124 before any output)
+_PROBE_SRC = (
+    "from srcnn_cpp_tpu.runtime import enable_compilation_cache;"
+    "enable_compilation_cache();"
+    "import jax, jax.numpy as jnp, numpy as np;"
+    "np.asarray(jax.jit(lambda a: a + 1)(jnp.ones((8, 128), jnp.float32)));"
+    "print('PROBE_OK')"
+)
 
-    TPU backend init through the relay can either fail fast (UNAVAILABLE)
-    or hang indefinitely; a per-attempt wall-clock timeout handles both.
-    The per-attempt budget covers worst-case first-compile latency
-    (30 s - 8 min observed); retry 2+ usually rides the persistent
-    compilation cache and is much faster.
-    """
-    import os
+# retry only plausibly-transient failures (relay outage, timeout); a
+# deterministic compile error fails the same way every attempt — burn
+# no budget on it (round 3 lost 6 min retrying a Mosaic
+# NotImplementedError before this guard existed)
+_DETERMINISTIC = (b"NotImplementedError", b"Mosaic failed to compile",
+                  b"Unsupported cast", b"unsupported shape cast")
+
+
+def _child(args: list, env: dict | None, timeout: float):
+    """Run a python child; returns (rc, stdout, stderr); rc=124 on timeout."""
     import subprocess
     import sys
 
-    # retry only plausibly-transient failures (relay outage, timeout); a
-    # deterministic compile error fails the same way every attempt — burn
-    # no backoff on it (round 3 lost 6 min retrying a Mosaic
-    # NotImplementedError before this guard existed)
-    _DETERMINISTIC = (b"NotImplementedError", b"Mosaic failed to compile",
-                      b"Unsupported cast", b"unsupported shape cast")
+    try:
+        proc = subprocess.run([sys.executable, *args],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              env=env, timeout=timeout)
+    except subprocess.TimeoutExpired as exc:
+        return 124, exc.stdout or b"", exc.stderr or b""
+    return proc.returncode, proc.stdout, proc.stderr
 
-    delays = (60, 180)  # backoff before attempts 2 and 3
-    for attempt in range(len(delays) + 1):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--inner"],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=850)
-        except subprocess.TimeoutExpired:
-            print(f"bench: attempt {attempt + 1} timed out", file=sys.stderr)
-        else:
-            sys.stderr.buffer.write(proc.stderr)
-            sys.stderr.flush()
-            if proc.returncode == 0 and proc.stdout.strip():
-                sys.stdout.buffer.write(proc.stdout)
-                sys.stdout.flush()
-                return 0
-            print(f"bench: attempt {attempt + 1} exited rc={proc.returncode}",
+
+def _run_with_retries() -> int:
+    """Run the benchmark under a HARD total wall budget (default 14 min).
+
+    Structure (the round-4 postmortem):
+      1. liveness probe — a trivial jit (<10 s warm) must succeed before
+         any full attempt is committed, so a dead relay costs probe-sized
+         retries, not attempt-sized ones;
+      2. full-config attempts, each bounded so that a degraded-mode
+         reserve always remains;
+      3. degraded fallback (BATCH=16, ITERS=2 — shapes pre-warmed in the
+         persistent compile cache) that still prints a valid JSON line.
+
+    Worst case this exits in ~budget seconds with either a record or a
+    clear stderr trail — never a silent rc=124 from the driver's side.
+    """
+    import os
+    import sys
+
+    budget = float(os.environ.get("BENCH_WALL_BUDGET", "840"))
+    deadline = time.monotonic() + budget
+
+    def remaining() -> float:
+        return deadline - time.monotonic()
+
+    inner = [os.path.abspath(__file__), "--inner"]
+    reserve = 210.0  # kept back for the degraded fallback attempt
+
+    # phase 1: liveness (cheap; loop until the relay answers or ~2 min
+    # of budget is all that's left)
+    while True:
+        rc, out, _ = _child(["-c", _PROBE_SRC], None, min(75.0, remaining()))
+        if rc == 0 and b"PROBE_OK" in out:
+            print(f"bench: probe ok ({budget - remaining():.0f}s in)",
                   file=sys.stderr)
-            if any(sig in proc.stderr for sig in _DETERMINISTIC):
-                print("bench: deterministic compile error — not retrying",
-                      file=sys.stderr)
-                return 1
-        if attempt < len(delays):
-            print(f"bench: retrying in {delays[attempt]}s", file=sys.stderr)
-            time.sleep(delays[attempt])
+            break
+        print("bench: liveness probe failed (relay down/cold); retrying",
+              file=sys.stderr)
+        if remaining() < reserve + 120:
+            print("bench: relay never answered within budget", file=sys.stderr)
+            return 1
+        time.sleep(20)
+
+    # phase 2: full config, as many attempts as fit while preserving the
+    # degraded reserve
+    attempt = 0
+    while remaining() > reserve + 90:
+        attempt += 1
+        rc, out, err = _child(inner, None, remaining() - reserve)
+        sys.stderr.buffer.write(err)
+        sys.stderr.flush()
+        if rc == 0 and out.strip():
+            sys.stdout.buffer.write(out)
+            sys.stdout.flush()
+            return 0
+        print(f"bench: full attempt {attempt} rc={rc}", file=sys.stderr)
+        if any(sig in err for sig in _DETERMINISTIC):
+            print("bench: deterministic compile error — skipping to degraded",
+                  file=sys.stderr)
+            break
+        time.sleep(min(20, max(0, remaining() - reserve - 60)))
+
+    # phase 3: degraded fallback — tiny config that rides the persistent
+    # cache; a smaller-but-valid record beats an empty round
+    env = dict(os.environ, BENCH_BATCH="16", BENCH_ITERS="2")
+    rc, out, err = _child(inner, env, max(60.0, remaining()))
+    sys.stderr.buffer.write(err)
+    sys.stderr.flush()
+    if rc == 0 and out.strip():
+        print("bench: degraded-mode record (BATCH=16 ITERS=2)",
+              file=sys.stderr)
+        sys.stdout.buffer.write(out)
+        sys.stdout.flush()
+        return 0
+    print(f"bench: degraded attempt rc={rc}; no record", file=sys.stderr)
     return 1
 
 
