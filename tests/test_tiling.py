@@ -199,8 +199,8 @@ def test_pre_upscale_fused_rows_declines(weights, mesh24):
     from srcnn_cpp_tpu.parallel import make_mesh, pre_upscale_fused_rows
 
     x = np.zeros((2, 3, 64, 160), dtype=np.uint8)
-    # non-integer scale: no step-1 phase plan
-    assert pre_upscale_fused_rows(x, (96, 240), mesh24) is None
+    # x1.2: source step 5 > _MAX_S on both axes — no plan at all
+    assert pre_upscale_fused_rows(x, (76, 192), mesh24) is None
     # rows not divisible by the mesh row axis
     x2 = np.zeros((2, 3, 63, 160), dtype=np.uint8)
     assert pre_upscale_fused_rows(x2, (126, 320), mesh24) is None
@@ -215,9 +215,7 @@ def test_pre_upscale_fused_rows_declines(weights, mesh24):
 def test_pre_upscale_fused_rows_generalized_plan(weights, mesh24):
     # x3 past OpenCV's f32 coefficient-drift boundary (output rows >=
     # 1536): the per-output coefficient planes shard over ``row`` and the
-    # stitched plane still matches the engine (round-4 extension; S=2
-    # parity plans remain declined for sharding — parity shifts per
-    # device)
+    # stitched plane still matches the engine (round-4 extension)
     from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
     from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
     from srcnn_cpp_tpu.parallel import pre_upscale_fused_rows
@@ -229,9 +227,45 @@ def test_pre_upscale_fused_rows_generalized_plan(weights, mesh24):
     ref = resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (1620, 288))
     d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
     assert d.max() <= 1 and (d > 0).mean() < 1e-4, (d.max(), (d > 0).mean())
-    # x1.5 (S=2 parity) declines on a mesh -> GSPMD fallback path
-    x15 = rng.integers(0, 256, (2, 3, 64, 192), dtype=np.uint8)
-    assert pre_upscale_fused_rows(x15, (96, 288), mesh24) is None
+
+
+def test_pre_upscale_fused_rows_parity_plans(weights, mesh24):
+    # S>=2 parity plans sharded (round 5): the deinterleave is local, so
+    # each device's plan matches the global one whenever the exact row
+    # ratio holds — x1.5 (pv=3, sv=2), x0.75 (pv=3, sv=4) and the 2:1
+    # downscale (pv=1, sv=2) all stitch to the monolithic engine
+    from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
+    from srcnn_cpp_tpu.ops.pallas_resize import pre_upscale_fused
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+    from srcnn_cpp_tpu.parallel import pre_upscale_fused_rows
+
+    rng = np.random.default_rng(23)
+    for scale, ih, iw in [(1.5, 64, 192), (0.75, 96, 256), (0.5, 128, 512)]:
+        x = rng.integers(0, 256, (2, 3, ih, iw), dtype=np.uint8)
+        out_hw = (int(ih * scale), int(iw * scale))
+        got = pre_upscale_fused_rows(x, out_hw, mesh24)
+        assert got is not None, scale
+        for ref in (pre_upscale_fused(x, out_hw),
+                    resize_bicubic_u8(bgr2ycrcb_u8_planar(x), out_hw)):
+            d = np.abs(np.asarray(got).astype(int)
+                       - np.asarray(ref).astype(int))
+            assert d.max() <= 1 and (d > 0).mean() < 1e-4, (scale, d.max())
+
+
+def test_pre_upscale_fused_2d_parity_plan(weights):
+    # x1.5 on a (row, col) mesh: parity plans with BOTH row and lane halos
+    from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+    from srcnn_cpp_tpu.parallel import make_mesh, pre_upscale_fused_rows
+
+    mesh2d = make_mesh(data=1, row=2, col=4)
+    rng = np.random.default_rng(29)
+    x = rng.integers(0, 256, (2, 3, 64, 1024), dtype=np.uint8)
+    got = pre_upscale_fused_rows(x, (96, 1536), mesh2d)
+    assert got is not None
+    ref = resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (96, 1536))
+    d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-4, d.max()
 
 
 def test_pre_upscale_fused_2d_matches_monolith(weights):
