@@ -165,6 +165,18 @@ if len(jax.devices()) >= 1:
     eg2 = resize_bicubic_u8(bgr2ycrcb_u8_planar(xg2), (1620, 288))
     res["fused_pre_rows_general_max_lsb"] = int(np.abs(
         np.asarray(pg).astype(int) - np.asarray(eg2).astype(int)).max())
+
+    # sharded S=2 PARITY plan (x1.5, round 5): quadrant-slab kernel under
+    # shard_map with the S-generalized halo widths — Mosaic lowering of
+    # the parity path in the sharded composition (multi-device offsets
+    # are CPU-covered by test_tiling.py parity gates)
+    x15s = np.random.default_rng(11).integers(0, 256, (1, 3, 180, 320),
+                                              dtype=np.uint8)
+    p15 = pre_upscale_fused_rows(x15s, (270, 480), mesh)
+    assert p15 is not None
+    e15s = resize_bicubic_u8(bgr2ycrcb_u8_planar(x15s), (270, 480))
+    res["fused_pre_rows_s2_max_lsb"] = int(np.abs(
+        np.asarray(p15).astype(int) - np.asarray(e15s).astype(int)).max())
 print("RESULT " + json.dumps(res))
 """
 
@@ -193,3 +205,4 @@ def test_tpu_golden_gates():
     assert res.get("pallas_tiled_max_lsb", 0) <= 1
     assert res.get("fused_pre_rows_max_lsb", 0) == 0
     assert res.get("fused_pre_rows_general_max_lsb", 0) == 0
+    assert res.get("fused_pre_rows_s2_max_lsb", 0) == 0  # sharded parity
