@@ -31,6 +31,9 @@ Subcommands:
         for the XLA engines instead of the fused passes)
     resize              stage shares inside the resize+color bucket:
         color-in / h-pass / h+v resize / color-out (ex resize_profile.py)
+    mesh [batch]        sharded pre-pass A/B on a (1, n_devices) mesh:
+        fused Pallas-per-device vs the GSPMD XLA engine, x2 and x1.5
+        (the scale that fell back to GSPMD before round 5)
 
 Methodology: benchmarks/_runner.py (interleaved best-of-N in one process,
 tiny-fetch completion fences — the axon relay's block_until_ready is not
@@ -370,6 +373,78 @@ def resize_main() -> None:
           f" ms")
 
 
+# ------------------------------------------------------------------ mesh
+
+
+def mesh_main(argv) -> None:
+    """Sharded pre-pass A/B: fused Pallas-per-device vs the GSPMD engine.
+
+    Times `pre_upscale_fused_rows` against the GSPMD-sharded XLA engine
+    composition (`resize_bicubic_u8(bgr2ycrcb_u8_planar(x))` under a row
+    sharding constraint) on a (data=1, row=n_devices) mesh, at x2 and
+    x1.5 — the scale whose fused-sharded path existed only as a GSPMD
+    fallback before round 5.  On one real chip the mesh is (1, 1) and
+    this measures the per-device gap the distributed stream's ``fused``
+    variant buys; on the 8-virtual-CPU mesh it exercises the multi-device
+    halo plumbing (interpret-mode kernel timings are NOT meaningful
+    there — use it for plumbing, not numbers).
+    """
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8, scaled_size
+    from srcnn_cpp_tpu.parallel import make_mesh, pre_upscale_fused_rows
+
+    iters = 6
+    batch = int(argv[0]) if argv else 32
+    nrow = len(jax.devices())
+    mesh = make_mesh(data=1, row=nrow)
+    rng = np.random.default_rng(0)
+
+    @partial(jax.jit, static_argnames=("out_hw",))
+    def gspmd_pre(x, out_hw):
+        spec = NamedSharding(mesh, P(None, None, "row", None))
+        x = lax.with_sharding_constraint(x, spec)
+        up = resize_bicubic_u8(bgr2ycrcb_u8_planar(x), out_hw)
+        return lax.with_sharding_constraint(up, spec)
+
+    print(f"mesh {dict(mesh.shape)}  batch {batch}  {H}x{W} input")
+    for scale in (2.0, 1.5):
+        ow, oh = scaled_size(W, H, scale)
+        x = jnp.asarray(rng.integers(0, 256, (batch, 3, H, W),
+                                     dtype=np.uint8))
+        variants = {
+            "fused-sharded": lambda d: pre_upscale_fused_rows(
+                x.at[0, 0, 0, 0].add(d), (oh, ow), mesh),
+            "gspmd-engine ": lambda d: gspmd_pre(
+                x.at[0, 0, 0, 0].add(d), (oh, ow)),
+        }
+
+        def chain(fn, n):
+            dep = jnp.zeros((), jnp.uint8)
+            out = None
+            for _ in range(n):
+                out = fn(dep)
+                assert out is not None, "fused path declined this geometry"
+                dep = out[0, 0, 0, 0] * 0
+            np.asarray(dep)   # completion fence (tiny fetch)
+            return out
+
+        for name, fn in variants.items():
+            chain(fn, 2)
+        best = {name: float("inf") for name in variants}
+        for rep in range(5):
+            for name, fn in variants.items():
+                t0 = time.monotonic()
+                chain(fn, iters)
+                best[name] = min(best[name], (time.monotonic() - t0) / iters)
+        mp = batch * oh * ow / 1e6
+        for name in variants:
+            print(f"x{scale:g} {name}: {best[name]*1e3:7.2f} ms "
+                  f"{mp/best[name]:8.1f} MP/s")
+
+
 # ------------------------------------------------------------------ main
 
 
@@ -387,6 +462,8 @@ def main() -> None:
         batch_main(argv)
     elif cmd == "resize":
         resize_main()
+    elif cmd == "mesh":
+        mesh_main(argv)
     else:
         raise SystemExit(f"unknown subcommand {cmd!r}; see --help")
 
