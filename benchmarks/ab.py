@@ -417,6 +417,66 @@ def prepost_main(argv) -> None:
     print_table(title, best, mp)
 
 
+# --------------------------------------------------------------- prefuse
+
+
+def prefuse_main() -> None:
+    """Round-5 free-Y bound on the pre→conv fusion boundary (VERDICT #2).
+
+    A/Bs the production fused pipeline against the same pipeline with the
+    pre-pass's Y chains knocked out ("ych": Cr/Cb computed, Y a duplicate
+    of the Cr plane — wrong values, identical shapes/layout).  The delta
+    is the IN-CONTEXT cost of producing upscaled Y in the pre-pass, i.e.
+    the STRICT UPPER BOUND on what fusing the bicubic into the conv
+    kernel could recover: the conv kernel would still do that work on its
+    own serial critical path, so the realizable gain is the delta minus
+    the conv-side addition (lower-bounded by the Y phase-chain arithmetic
+    ~0.75 ms, realistically ~3-4x that per the 4c VMEM-movement
+    attribution) plus only the Y HBM round-trip (~0.2 ms of bandwidth).
+    """
+    from srcnn_cpp_tpu.ops.pallas_merge import merge_ycrcb_to_bgr_fused
+    from srcnn_cpp_tpu.ops.pallas_resize import (_apply_fused_pre,
+                                                 _pre_plans,
+                                                 pre_upscale_fused)
+    from srcnn_cpp_tpu.ops.pallas_srcnn import srcnn_y_fused
+    from srcnn_cpp_tpu.pipeline import _upscale_planar_jit
+
+    weights = jax.device_put(load_weights())
+    batch, h, w = 32, 540, 960
+    oh, ow = 2 * h, 2 * w
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (batch, 3, h, w), dtype=np.uint8))
+    mp = batch * oh * ow / 1e6
+    statics, vcf, hcf = _pre_plans(oh, h, ow, w)
+    ych = frozenset({"ych"})
+
+    @jax.jit
+    def freey(v):
+        up = _apply_fused_pre(v, oh, ow, statics, ablate=ych,
+                              vcf=vcf, hcf=hcf)
+        y_sr = srcnn_y_fused(up[:, 0], weights)
+        return merge_ycrcb_to_bgr_fused(y_sr, up)
+
+    pre_full = jax.jit(lambda v: pre_upscale_fused(v, (oh, ow)))
+    pre_noy = jax.jit(lambda v: _apply_fused_pre(
+        v, oh, ow, statics, ablate=ych, vcf=vcf, hcf=hcf))
+    cases = {
+        "e2e-base": lambda: _upscale_planar_jit(x, weights, (oh, ow),
+                                                "pallas", "fused"),
+        "e2e-freeY": lambda: freey(x),
+        "pre-full": lambda: pre_full(x),
+        "pre-noY": lambda: pre_noy(x),
+    }
+    fns, _ = compile_all(cases)
+    best = time_interleaved(fns, rounds=5, iters=4)
+    print_table(f"[prefuse] free-Y bound, batch {batch} {w}x{h} -> "
+                f"{ow}x{oh}", best, mp)
+    d_e2e = 1e3 * (best["e2e-base"] - best["e2e-freeY"])
+    d_pre = 1e3 * (best["pre-full"] - best["pre-noY"])
+    print(f"\nY share of pre-pass, in-context (e2e delta): {d_e2e:6.2f} ms")
+    print(f"Y share of pre-pass, standalone            : {d_pre:6.2f} ms")
+
+
 # ------------------------------------------------------------------ main
 
 
@@ -434,6 +494,8 @@ def main() -> None:
         hmode_main()
     elif cmd == "prepost":
         prepost_main(argv)
+    elif cmd == "prefuse":
+        prefuse_main()
     else:
         raise SystemExit(f"unknown subcommand {cmd!r}; see --help")
 

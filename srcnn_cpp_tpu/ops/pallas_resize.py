@@ -109,7 +109,11 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
     named stages so their cost can be attributed on-chip by differencing:
     "color" feeds raw casts, "h"/"v" replace that pass's arithmetic with a
     same-shape slice, "round" skips round+clip, "inter" replaces the
-    vertical-phase interleave with a plain concat (same bytes, contiguous).
+    vertical-phase interleave with a plain concat (same bytes, contiguous),
+    "ych" drops the Y channel from the phase chains (Cr/Cb only, Y output
+    duplicated from Cr — the round-5 free-Y bound on the pre→conv fusion
+    boundary: what the e2e span becomes if conv got its upscaled Y for
+    free).
     """
     if vc is None:
         vcf_ref, refs = refs[0], refs[1:]
@@ -185,6 +189,9 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
     # per-quadrant views: quadrant (svi, shi) holds input rows
     # svi::sv x cols shi::sh; for sq == 1 this is just [ycc]
     ycc_q = [ycc] if sq == 1 else [ycc[qd] for qd in range(sq)]
+    if "ych" in ablate:
+        # free-Y probe: the chains process only Cr/Cb (leading dim 2)
+        ycc_q = [c[1:] for c in ycc_q]
 
     th = pv * tih
     # scalar coefficients when the strict plan holds; per-output-column
@@ -230,12 +237,15 @@ def _kernel(bgr_ref, *refs, tih: int, tiw: int,
                     r2 = vsl(k) * vcoef(q, k) + r2
             phases.append(r2 if "round" in ablate
                           else jnp.clip(jnp.round(r2), 0.0, 255.0))
+        nch = 2 if "ych" in ablate else 3
         if pv == 1:
             col = phases[0]
         elif "inter" in ablate or rowinter == "xla":
             col = jnp.concatenate(phases, axis=1)
         else:
-            col = jnp.stack(phases, axis=2).reshape(3, th, tiw)
+            col = jnp.stack(phases, axis=2).reshape(nch, th, tiw)
+        if "ych" in ablate:   # duplicate Cr into the Y slot (cheap slice)
+            col = jnp.concatenate([col[:1], col], axis=0)
         # Mosaic has no direct f32->u8 cast; truncate via i32 (col is a
         # clipped non-negative integer-valued f32, so the value is
         # unchanged)
@@ -285,7 +295,9 @@ def _fused_pre_call(ypad, tih, tiw, svp, swp, pv, ph, vb, vc, hb, hc,
         interpret=jax.default_backend() == "cpu",
     )(ypad, *coef_args)
     oh_pad, ow_col = gh * pv * tih, gw * tiw
-    if rowinter == "xla" and pv > 1 and not ablate:
+    # the free-Y probe ("ych") keeps the caller-side relayout so its span
+    # is comparable to production; other knockouts emit garbage anyway
+    if rowinter == "xla" and pv > 1 and ablate <= {"ych"}:
         # de-interleave the contiguous row phases per tile block: block
         # rows [q*tih + r] hold output row [pv*r + q] — a u8 relayout XLA
         # fuses with the lane interleave below
