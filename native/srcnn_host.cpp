@@ -163,6 +163,8 @@ int srcnn_host_resize_cubic_u8(const uint8_t* src, int ih, int iw,
 // ---------------------------------------------------------------------------
 // Generic separable float resampler (frawscale-capability counterpart).
 // filter: 0=box 1=bilinear 2=mitchell 3=catmull_rom 4=lanczos3
+//         5=cubic_matlab (Keys a=-0.5, MATLAB imresize 'bicubic' —
+//         the SRCNN evaluation degradation kernel, Pictures/Resize.m)
 // ---------------------------------------------------------------------------
 namespace {
 
@@ -184,8 +186,8 @@ double kernel_eval(int filter, double x) {
                         (-12 * b - 48 * c) * ax + (8 * b + 24 * c)) / 6.0;
             return 0.0;
         }
-        case 3: {  // Catmull-Rom family, a = -0.75
-            const double a = -0.75;
+        case 3: case 5: {  // Catmull-Rom family (3: a=-0.75, 5: a=-0.5)
+            const double a = filter == 3 ? -0.75 : -0.5;
             if (ax < 1.0) return ((a + 2) * ax - (a + 3)) * ax * ax + 1;
             if (ax < 2.0) return ((a * ax - 5 * a) * ax + 8 * a) * ax - 4 * a;
             return 0.0;
@@ -205,7 +207,7 @@ double kernel_support(int filter) {
     switch (filter) {
         case 0: return 0.5;
         case 1: return 1.0;
-        case 2: case 3: return 2.0;
+        case 2: case 3: case 5: return 2.0;
         case 4: return 3.0;
         default: return 1.0;
     }
@@ -253,7 +255,7 @@ SepAxis sep_axis(int dst, int src, int filter) {
 int srcnn_host_resize_separable_f32(const float* src, int ih, int iw,
                                     float* dst, int oh, int ow, int filter) {
     if (!src || !dst || ih <= 0 || iw <= 0 || oh <= 0 || ow <= 0) return -1;
-    if (filter < 0 || filter > 4) return -2;
+    if (filter < 0 || filter > 5) return -2;
     SepAxis xs = sep_axis(ow, iw, filter);
     SepAxis ys = sep_axis(oh, ih, filter);
 

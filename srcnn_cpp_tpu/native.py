@@ -24,7 +24,7 @@ _SRC = _NATIVE_DIR / "srcnn_host.cpp"
 _SO = _NATIVE_DIR / "build" / "libsrcnn_host.so"
 
 FILTERS = {"box": 0, "bilinear": 1, "mitchell": 2, "catmull_rom": 3,
-           "lanczos3": 4}
+           "lanczos3": 4, "cubic_matlab": 5}
 
 _lib = None
 

@@ -40,7 +40,8 @@ def test_separable_matches_jax_engine():
     from srcnn_cpp_tpu.ops.resize import resize_separable
 
     x = np.random.default_rng(2).uniform(0, 255, (48, 56)).astype(np.float32)
-    for m in ("box", "bilinear", "mitchell", "catmull_rom", "lanczos3"):
+    for m in ("box", "bilinear", "mitchell", "catmull_rom", "lanczos3",
+              "cubic_matlab"):
         c = native.resize_separable_f32(x, (31, 90), m)
         j = np.asarray(resize_separable(x, (31, 90), m))
         assert np.abs(c - j).max() < 1e-3, m
