@@ -38,8 +38,11 @@ SCALE = float(os.environ.get("BENCH_SCALE", "2"))
 BASELINE_MPS = _BASELINE_MPS.get(SCALE, 0.0178)
 # batch 64 at x3 exceeds single-chip HBM (the x3 output planes alone are
 # ~0.9 GB plus resize intermediates — measured ResourceExhausted); halve
-# the default there, overridable as always
-BATCH = int(os.environ.get("BENCH_BATCH", "32" if SCALE >= 3 else "64"))
+# the default there, overridable as always.  x2 runs batch 128: the
+# round-5 sweep (profile.py batch 540x960 64..256) measured 64→1620,
+# 96→1671, 128→1701-1722, 192→1678, 256→1702 MP/s same-process — the
+# curve saturates at 128.
+BATCH = int(os.environ.get("BENCH_BATCH", "32" if SCALE >= 3 else "128"))
 ITERS = int(os.environ.get("BENCH_ITERS", "6"))
 # env overrides allow on-chip A/Bs without editing the file
 KERNEL = os.environ.get("BENCH_KERNEL", "pallas")  # ops/pallas_srcnn.py

@@ -116,6 +116,64 @@ def run_synthetic(n: int, size: tuple[int, int], scale: float,
     return {"frames": done, "seconds": dt, "fps": done / dt, "mps": mp / dt}
 
 
+def run_synthetic_device(n: int, size: tuple[int, int], scale: float,
+                         kernel: str = "pallas", batch: int = 8,
+                         depth: int = 3, resize: str = "auto") -> dict:
+    """Device-resident sustained-rate benchmark of the stream config.
+
+    Measures the chip's sustained frame rate under the stream's
+    scheduling semantics (``depth`` micro-batch dispatches in flight,
+    oldest fenced once the pipeline is full, dispatches chained on a
+    data dependency) with the frame batch already device-resident —
+    i.e. the COMPUTE span of BASELINE config 5 (4K30 streaming) without
+    the dev relay's ~10-30 MB/s debug tunnel in the loop.  A production
+    host feeds frames over PCIe, where 30 fps x 24 MB/4K-frame =
+    0.75 GB/s is a small fraction of link bandwidth; through the relay,
+    :func:`run_synthetic` measures the tunnel, not the chip.  Returns
+    sustained fps / MP/s.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.resize import scaled_size
+    from .pipeline import _upscale_planar_jit, resolve_resize
+
+    h, w = size
+    rng = np.random.default_rng(0)
+    weights = jax.device_put(load_weights())
+    xb = jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (batch, 3, h, w), dtype=np.uint8)))
+    ow, oh = scaled_size(w, h, scale)
+    rz = resolve_resize(resize)
+
+    def dispatch(dep):
+        # the chain dependency folds into the jitted program (bench.py
+        # methodology): the span measures the pipeline, not scaffolding
+        return _upscale_planar_jit(xb.at[0, 0, 0, 0].add(dep), weights,
+                                   (oh, ow), kernel, rz)
+
+    out = dispatch(jnp.zeros((), jnp.uint8))        # warm-up / compile
+    np.asarray(out[0, 0, 0, 0])
+    inflight: collections.deque = collections.deque()
+    nb = max(1, n // batch)
+    done = 0
+    t0 = time.monotonic()
+    dep = jnp.zeros((), jnp.uint8)
+    for _ in range(nb):
+        out = dispatch(dep)
+        dep = out[0, 0, 0, 0] * 0
+        inflight.append(dep)
+        if len(inflight) > depth:
+            np.asarray(inflight.popleft())          # fence the oldest
+            done += batch
+    while inflight:
+        np.asarray(inflight.popleft())
+        done += batch
+    dt = time.monotonic() - t0
+    mp = done * oh * ow / 1e6
+    return {"frames": done, "seconds": dt, "fps": done / dt, "mps": mp / dt}
+
+
 def run_video(src: str, dst: str, scale: float, kernel: str,
               verbose: bool = True, batch: int = 1,
               resize: str = "auto", codec: str = "FFV1") -> int:

@@ -176,3 +176,12 @@ def test_stream_fused_resize_mode(weights):
     for x, y in zip(a, b):
         d = np.abs(x.astype(int) - y.astype(int))
         assert d.max() <= 2 and (d > 0).mean() < 1e-3
+
+
+def test_run_synthetic_device_smoke():
+    # device-resident sustained-rate harness (config 5 record machinery):
+    # tiny geometry smoke — frames accounted, rates positive
+    from srcnn_cpp_tpu.stream import run_synthetic_device
+
+    r = run_synthetic_device(4, (16, 144), 2.0, batch=2, depth=1)
+    assert r["frames"] == 4 and r["fps"] > 0 and r["mps"] > 0
