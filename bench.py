@@ -43,7 +43,11 @@ BASELINE_MPS = _BASELINE_MPS.get(SCALE, 0.0178)
 # 96→1671, 128→1701-1722, 192→1678, 256→1702 MP/s same-process — the
 # curve saturates at 128.
 BATCH = int(os.environ.get("BENCH_BATCH", "32" if SCALE >= 3 else "128"))
-ITERS = int(os.environ.get("BENCH_ITERS", "6"))
+# chain length measures the sustained steady state: the round-5 sweep at
+# batch 128 gave 6 -> 1,745 / 12 -> 1,778 / 24 -> 1,792 / 48 -> 1,800
+# MP/s (one-time ramp effects amortize); 48 keeps the warm-cache inner
+# run under ~45 s, well inside the degraded-mode reserve
+ITERS = int(os.environ.get("BENCH_ITERS", "48"))
 # env overrides allow on-chip A/Bs without editing the file
 KERNEL = os.environ.get("BENCH_KERNEL", "pallas")  # ops/pallas_srcnn.py
 if KERNEL not in ("pallas", "xla", "xla_split"):    # typo -> silent exact/xla
