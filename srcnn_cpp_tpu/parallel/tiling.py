@@ -525,44 +525,46 @@ def pre_upscale_fused_rows(bgr_p, out_hw: tuple[int, int], mesh: Mesh):
     return out[0] if squeeze else out
 
 
-@partial(jax.jit, static_argnames=("mesh", "batch_axis"))
-def _merge_fused_rows_call(y_sr, up, mesh, batch_axis):
+@partial(jax.jit, static_argnames=("mesh", "batch_axis", "col"))
+def _merge_fused_rows_call(y_sr, up, mesh, batch_axis, col):
     from ..ops.pallas_merge import merge_ycrcb_to_bgr_fused
 
+    cspec = "col" if col else None
     return shard_map(
         merge_ycrcb_to_bgr_fused, mesh=mesh,
-        in_specs=(P(batch_axis, "row", None),
-                  P(batch_axis, None, "row", None)),
-        out_specs=P(batch_axis, None, "row", None),
+        in_specs=(P(batch_axis, "row", cspec),
+                  P(batch_axis, None, "row", cspec)),
+        out_specs=P(batch_axis, None, "row", cspec),
         # pallas_call's out_shape carries no varying-mesh-axes info
         check_vma=False,
     )(y_sr, up)
 
 
 def merge_ycrcb_to_bgr_fused_rows(y_sr, up, mesh: Mesh):
-    """Row-sharded fused merge+inverse-color post-pass (no halos needed).
+    """Row- (and column-) sharded fused merge post-pass (no halos needed).
 
     The post-pass is pointwise, so each device simply runs the Pallas
-    merge kernel (ops/pallas_merge.py) on its own row block — bit-identical
-    to the monolithic kernel by construction.  ``y_sr [B, oh, ow]`` +
-    ``up [B, 3, oh, ow]`` -> planar BGR u8.  Returns None when the mesh
-    does not divide the rows, local blocks are too small for a kernel, or
-    the mesh is column-sharded.
+    merge kernel (ops/pallas_merge.py) on its own tile — bit-identical
+    to the monolithic kernel by construction; on a ``(row, col)`` mesh
+    the columns shard the same way (round 5 — formerly a rows-only
+    composition).  ``y_sr [B, oh, ow]`` + ``up [B, 3, oh, ow]`` ->
+    planar BGR u8.  Returns None when the mesh does not divide the
+    geometry or local tiles are below the kernel minimum.
     """
     b, oh, ow = y_sr.shape
     nrow = mesh.shape["row"]
     ndata = mesh.shape["data"]
-    if mesh.shape.get("col", 1) > 1:
-        return None
-    if oh % nrow or oh // nrow < 8 or ow < 128:
+    ncol = mesh.shape.get("col", 1)
+    if oh % nrow or oh // nrow < 8 or ow % ncol or ow // ncol < 128:
         return None
     batch_axis = "data" if ndata > 1 and b % ndata == 0 else None
-    sharding = NamedSharding(mesh, P(batch_axis, "row", None))
-    sharding_up = NamedSharding(mesh, P(batch_axis, None, "row", None))
+    cspec = "col" if ncol > 1 else None
+    sharding = NamedSharding(mesh, P(batch_axis, "row", cspec))
+    sharding_up = NamedSharding(mesh, P(batch_axis, None, "row", cspec))
     if isinstance(y_sr, jax.core.Tracer) or isinstance(up, jax.core.Tracer):
         y_sr = lax.with_sharding_constraint(y_sr, sharding)
         up = lax.with_sharding_constraint(up, sharding_up)
     else:
         y_sr = jax.device_put(y_sr, sharding)
         up = jax.device_put(up, sharding_up)
-    return _merge_fused_rows_call(y_sr, up, mesh, batch_axis)
+    return _merge_fused_rows_call(y_sr, up, mesh, batch_axis, ncol > 1)

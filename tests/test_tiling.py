@@ -301,6 +301,16 @@ def test_merge_fused_rows_bit_equal(weights, mesh24):
     up = rng.integers(0, 256, (2, 3, 64, 192), dtype=np.uint8)
     got = merge_ycrcb_to_bgr_fused_rows(y_sr, up, mesh24)
     assert got is not None
+    # (row, col) mesh: pointwise, so 2-D tiles are trivially exact too
+    from srcnn_cpp_tpu.parallel import make_mesh
+
+    mesh2d = make_mesh(data=2, row=2, col=2)
+    y2 = rng.integers(0, 256, (2, 64, 256), dtype=np.uint8)
+    up2 = rng.integers(0, 256, (2, 3, 64, 256), dtype=np.uint8)
+    got2d = merge_ycrcb_to_bgr_fused_rows(y2, up2, mesh2d)
+    assert got2d is not None
+    ref2d = merge_ycrcb_to_bgr_fused(y2, up2)
+    assert np.array_equal(np.asarray(got2d), np.asarray(ref2d))
     ref = merge_ycrcb_to_bgr_fused(y_sr, up)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
     # ragged local rows (60/4 = 15) ride the kernel's masked blocks
