@@ -189,15 +189,21 @@ def _run_with_retries() -> int:
     reserve = 210.0  # kept back for the degraded fallback attempt
 
     # phase 1: liveness (cheap; loop until the relay answers or ~2 min
-    # of budget is all that's left)
+    # of budget is all that's left).  The per-probe timeout ESCALATES:
+    # backend init through the relay varies 4 s - minutes, and a fixed
+    # 75 s cap would loop forever on an init that consistently needs
+    # more (observed: probe success only after retries, "105 s in")
+    probe_try = 0
     while True:
-        rc, out, _ = _child(["-c", _PROBE_SRC], None, min(75.0, remaining()))
+        probe_try += 1
+        cap = min(75.0 * probe_try, max(60.0, remaining() - reserve - 60))
+        rc, out, _ = _child(["-c", _PROBE_SRC], None, cap)
         if rc == 0 and b"PROBE_OK" in out:
             print(f"bench: probe ok ({budget - remaining():.0f}s in)",
                   file=sys.stderr)
             break
-        print("bench: liveness probe failed (relay down/cold); retrying",
-              file=sys.stderr)
+        print(f"bench: liveness probe {probe_try} failed "
+              f"(relay down/cold, cap {cap:.0f}s); retrying", file=sys.stderr)
         if remaining() < reserve + 120:
             print("bench: relay never answered within budget", file=sys.stderr)
             return 1
