@@ -25,6 +25,9 @@ Subcommands:
     prepost pre|post|preablate   tile sweeps / stage ablation of the fused
         pre (color+bicubic) and post (merge+color) Pallas passes at the
         bench geometry (ex prepost_ab.py)
+    prefuse                  round-5 free-Y bound on the pre→conv fusion
+        boundary: production fused pipeline vs the same pipeline with the
+        pre-pass's Y chains knocked out (KERNEL_NOTES 5a)
 
 Methodology for every subcommand: benchmarks/_runner.py — interleaved
 best-of-N in one process (the shared chip drifts run to run), completion
