@@ -240,7 +240,8 @@ def test_pre_upscale_fused_rows_parity_plans(weights, mesh24):
     from srcnn_cpp_tpu.parallel import pre_upscale_fused_rows
 
     rng = np.random.default_rng(23)
-    for scale, ih, iw in [(1.5, 64, 192), (0.75, 96, 256), (0.5, 128, 512)]:
+    for scale, ih, iw in [(1.5, 64, 192), (0.75, 96, 256), (0.5, 128, 512),
+                          (1.25, 96, 256)]:  # S=4: 16 quadrants sharded
         x = rng.integers(0, 256, (2, 3, ih, iw), dtype=np.uint8)
         out_hw = (int(ih * scale), int(iw * scale))
         got = pre_upscale_fused_rows(x, out_hw, mesh24)
