@@ -239,6 +239,11 @@ def main(argv=None) -> int:
     ap.add_argument("--kernel", default="pallas", choices=["xla", "xla_split", "pallas"])
     ap.add_argument("--synthetic", type=int, default=0,
                     help="benchmark N synthetic frames instead of a file")
+    ap.add_argument("--device-resident", action="store_true",
+                    help="with --synthetic: measure the chip's sustained "
+                         "rate (frames pre-staged on device, fenced "
+                         "completion) instead of timing host I/O too — "
+                         "the config-5 record methodology")
     ap.add_argument("--size", default="1920x1080",
                     help="synthetic frame WxH")
     ap.add_argument("--resize", default="auto",
@@ -254,10 +259,20 @@ def main(argv=None) -> int:
                          "mp4v/avc1 etc. for lossy delivery formats)")
     args = ap.parse_args(argv)
 
+    from .runtime import enable_compilation_cache
+
+    enable_compilation_cache()   # remote compiles are 30 s - 8 min cold
+
     if args.synthetic:
         w, h = (int(t) for t in args.size.lower().split("x"))
-        r = run_synthetic(args.synthetic, (h, w), args.scale, args.kernel,
-                          batch=args.batch, resize=args.resize)
+        if args.device_resident:
+            r = run_synthetic_device(args.synthetic, (h, w), args.scale,
+                                     args.kernel, batch=max(1, args.batch),
+                                     resize=args.resize)
+        else:
+            r = run_synthetic(args.synthetic, (h, w), args.scale,
+                              args.kernel, batch=args.batch,
+                              resize=args.resize)
         print(f"synthetic {r['frames']} frames {args.size} x{args.scale:g}: "
               f"{r['fps']:.1f} fps  ({r['mps']:.0f} MP/s output)")
         return 0
