@@ -414,6 +414,11 @@ def mesh_main(argv) -> None:
         ow, oh = scaled_size(W, H, scale)
         x = jnp.asarray(rng.integers(0, 256, (batch, 3, H, W),
                                      dtype=np.uint8))
+        if pre_upscale_fused_rows(x, (oh, ow), mesh) is None:
+            # e.g. the 8-virtual-device CPU mesh with 540 % 8 != 0
+            print(f"x{scale:g}: fused path declines this mesh/geometry "
+                  f"— skipping")
+            continue
         variants = {
             "fused-sharded": lambda d: pre_upscale_fused_rows(
                 x.at[0, 0, 0, 0].add(d), (oh, ow), mesh),
@@ -426,7 +431,6 @@ def mesh_main(argv) -> None:
             out = None
             for _ in range(n):
                 out = fn(dep)
-                assert out is not None, "fused path declined this geometry"
                 dep = out[0, 0, 0, 0] * 0
             np.asarray(dep)   # completion fence (tiny fetch)
             return out

@@ -146,9 +146,11 @@ def run_synthetic_device(n: int, size: tuple[int, int], scale: float,
     ow, oh = scaled_size(w, h, scale)
     rz = resolve_resize(resize)
 
+    @jax.jit
     def dispatch(dep):
-        # the chain dependency folds into the jitted program (bench.py
-        # methodology): the span measures the pipeline, not scaffolding
+        # the chain dependency folds INTO the jitted program (bench.py
+        # methodology): an eager .at[].add would add a full input copy
+        # and an extra dispatch of scaffolding per iteration
         return _upscale_planar_jit(xb.at[0, 0, 0, 0].add(dep), weights,
                                    (oh, ow), kernel, rz)
 
