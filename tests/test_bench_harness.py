@@ -112,6 +112,27 @@ def test_deterministic_error_skips_retries(bench, monkeypatch, capsys):
     assert json.loads(capsys.readouterr().out)["value"] == 4
 
 
+def test_intermediate_rung_records(bench, monkeypatch, capsys):
+    # full config times out but the batch-64 rung lands a real record
+    # before the last-resort 16/2 rung is ever reached
+    rec = b'{"metric": "m", "value": 5, "unit": "MP/s", "vs_baseline": 1}'
+
+    def child(args, env, timeout):
+        if args[0] == "-c":
+            return 0, b"PROBE_OK\n", b""
+        if env and env.get("BENCH_BATCH") == "64":
+            return 0, rec, b""
+        if env and env.get("BENCH_BATCH") == "16":
+            return 1, b"", b""
+        return 124, b"", b""
+
+    monkeypatch.setattr(bench, "_child", child)
+    assert bench._run_with_retries() == 0
+    captured = capsys.readouterr()
+    assert json.loads(captured.out)["value"] == 5
+    assert "fallback 64/12 record" in captured.err
+
+
 def test_dead_relay_exits_clean(bench, monkeypatch, capsys):
     monkeypatch.setattr(bench, "_child", _fake_child({
         "probe": [(124, b"", b"")],        # relay never answers
