@@ -24,7 +24,8 @@ FAIL=0
     cp -r /root/reference /tmp/refbuild && make -C /tmp/refbuild
   fi
   timeout 2400 python benchmarks/eval_suite.py \
-    --ref-bin=/tmp/refbuild/bin/srcnn || FAIL=1
+    --ref-bin=/tmp/refbuild/bin/srcnn --out=EVAL.md --json=EVAL.json \
+    || FAIL=1
   echo "=== 3a. bench x2 fused (the headline; default) ==="
   timeout 1800 python bench.py || FAIL=1
   echo "=== 3b. bench x2 exact ==="
