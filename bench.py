@@ -217,8 +217,11 @@ def _run_with_retries() -> int:
 
     # phase 2: the fallback ladder — each rung bounded so later rungs
     # always keep their reserve; a smaller-but-valid record beats an
-    # empty round
-    ladder = ({}, {"BENCH_BATCH": "64", "BENCH_ITERS": "12"},
+    # empty round.  The middle rung halves the scale's OWN default batch
+    # (a fixed 64 would ResourceExhaust at x3, whose default is already
+    # the HBM-bounded 32)
+    ladder = ({},
+              {"BENCH_BATCH": str(max(16, BATCH // 2)), "BENCH_ITERS": "12"},
               {"BENCH_BATCH": "16", "BENCH_ITERS": "2"})
     rung = 0
     while rung < len(ladder):
@@ -251,10 +254,15 @@ def _run_with_retries() -> int:
                     else len(ladder)
                 advanced = True
                 break
-            if rung < len(ladder) - 1:
-                rung += 1          # one failed attempt per non-final rung
+            # a TIMEOUT consumed this rung's whole window (relay slow —
+            # drop a rung rather than burn the budget again); a FAST
+            # transient failure is retried up to 3 times before demoting,
+            # so a one-off blip does not cost the full-config record
+            if rung < len(ladder) - 1 and (rc == 124 or attempt >= 3):
+                rung += 1
                 advanced = True
                 break
+            time.sleep(min(15, max(0, remaining() - floor - 60)))
         if not advanced:
             rung += 1              # out of time for this rung
     print("bench: every rung failed; no record", file=sys.stderr)

@@ -21,6 +21,9 @@ FAIL=0
     || { FAIL=1; echo "!!! GATES FAILED — do not flip bench defaults !!!"; }
   echo "=== 2. EVAL re-mint (reference-binary accuracy gate) ==="
   if [ ! -x /tmp/refbuild/bin/srcnn ]; then
+    # a partial/interrupted prior build must not survive: cp -r into an
+    # existing dir would NEST the source (/tmp/refbuild/reference)
+    rm -rf /tmp/refbuild
     cp -r /root/reference /tmp/refbuild && make -C /tmp/refbuild
   fi
   timeout 2400 python benchmarks/eval_suite.py \

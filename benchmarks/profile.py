@@ -419,11 +419,18 @@ def mesh_main(argv) -> None:
             print(f"x{scale:g}: fused path declines this mesh/geometry "
                   f"— skipping")
             continue
+
+        # SYMMETRIC variants: both sides are one cached jit dispatch with
+        # the chain dependency folded in-jit — an eager fused call would
+        # re-run the numpy plan search and an eager .at[].add input copy
+        # every timed iteration (harness overhead, not kernel time)
+        fused_jit = jax.jit(lambda v, d, hw=(oh, ow): pre_upscale_fused_rows(
+            v.at[0, 0, 0, 0].add(d), hw, mesh))
+        gspmd_jit = jax.jit(lambda v, d, hw=(oh, ow): gspmd_pre(
+            v.at[0, 0, 0, 0].add(d), hw))
         variants = {
-            "fused-sharded": lambda d: pre_upscale_fused_rows(
-                x.at[0, 0, 0, 0].add(d), (oh, ow), mesh),
-            "gspmd-engine ": lambda d: gspmd_pre(
-                x.at[0, 0, 0, 0].add(d), (oh, ow)),
+            "fused-sharded": lambda d: fused_jit(x, d),
+            "gspmd-engine ": lambda d: gspmd_jit(x, d),
         }
 
         def chain(fn, n):

@@ -157,7 +157,7 @@ def run_synthetic_device(n: int, size: tuple[int, int], scale: float,
     out = dispatch(jnp.zeros((), jnp.uint8))        # warm-up / compile
     np.asarray(out[0, 0, 0, 0])
     inflight: collections.deque = collections.deque()
-    nb = max(1, n // batch)
+    nb = -(-n // batch)   # whole batches, at least n frames measured
     done = 0
     t0 = time.monotonic()
     dep = jnp.zeros((), jnp.uint8)
