@@ -253,6 +253,43 @@ def test_pre_upscale_fused_rows_parity_plans(weights, mesh24):
             assert d.max() <= 1 and (d > 0).mean() < 1e-4, (scale, d.max())
 
 
+def test_pre_upscale_fused_rows_fuzz(weights, mesh24):
+    # randomized RATIONAL-scale geometries, anisotropic (independent p/q
+    # per axis), through the sharded path: exercises plan admission, the
+    # S-generalized halo widths and the per-device phase/ratio checks
+    # across the space rather than the curated scales.  A 40-geometry
+    # sweep of this generator (2026-08-20) passed with worst LSB 1.
+    import random
+
+    from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
+    from srcnn_cpp_tpu.ops.resize import resize_bicubic_u8
+    from srcnn_cpp_tpu.parallel import pre_upscale_fused_rows
+
+    random.seed(77)
+    rng = np.random.default_rng(1)
+    fused = 0
+    for trial in range(24):
+        qv, pv = random.randrange(1, 5), random.randrange(1, 13)
+        qh, ph = random.randrange(1, 5), random.randrange(1, 13)
+        ih = random.randrange(2, 12) * qv * 4
+        iw = max(128, random.randrange(32, 80) * qh)
+        oh, ow = ih * pv // qv, iw * ph // qh
+        if not (32 <= oh <= 600 and oh % 4 == 0 and 128 <= ow <= 900):
+            continue
+        x = rng.integers(0, 256, (2, 3, ih, iw), dtype=np.uint8)
+        out = pre_upscale_fused_rows(x, (oh, ow), mesh24)
+        if out is None:
+            continue
+        fused += 1
+        ref = resize_bicubic_u8(bgr2ycrcb_u8_planar(x), (oh, ow))
+        d = np.abs(np.asarray(out).astype(int) - np.asarray(ref).astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3, \
+            (ih, iw, oh, ow, int(d.max()))
+        if fused >= 8:       # bound the suite cost; the generator is the gate
+            break
+    assert fused >= 6, f"fuzz exercised only {fused} sharded geometries"
+
+
 def test_pre_upscale_fused_2d_parity_plan(weights):
     # x1.5 on a (row, col) mesh: parity plans with BOTH row and lane halos
     from srcnn_cpp_tpu.ops.color import bgr2ycrcb_u8_planar
