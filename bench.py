@@ -29,13 +29,15 @@ import numpy as np
 
 import os
 
-# reference-binary throughput on this host per scale (BASELINE_MEASURED.md:
-# test.jpg x2 = 0.0178; butterfly x1.5 = 0.0156 and x3 = 0.0240 are the
-# closest measured anchors for the non-x2 records — the binary's MP/s is
-# nearly resolution-independent)
-_BASELINE_MPS = {1.5: 0.0156, 2.0: 0.0178, 3.0: 0.0240}
+# reference-binary throughput on this host per scale — the round-5
+# IDLE-HOST re-measurement (best-of-N, 4 OMP cores; BASELINE_MEASURED.md).
+# Round 1's anchors (x2 = 0.0178) were taken under a 1-core condition and
+# flattered the framework ~4x; vs_baseline uses the FASTER, reference-
+# favorable numbers.
+_BASELINE_MPS = {0.75: 0.0685, 1.25: 0.0664, 1.5: 0.0653, 2.0: 0.0707,
+                 3.0: 0.0801}
 SCALE = float(os.environ.get("BENCH_SCALE", "2"))
-BASELINE_MPS = _BASELINE_MPS.get(SCALE, 0.0178)
+BASELINE_MPS = _BASELINE_MPS.get(SCALE, 0.0707)
 # batch 64 at x3 exceeds single-chip HBM (the x3 output planes alone are
 # ~0.9 GB plus resize intermediates — measured ResourceExhausted); halve
 # the default there, overridable as always.  x2 runs batch 128: the
