@@ -5,7 +5,8 @@ Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
 Config matches the measured reference baseline (BASELINE_MEASURED.md):
 test.jpg-sized frames (960x540 BGR) upscaled x2 to 1920x1080 through the
 full pipeline (color convert + bicubic x3 channels + SRCNN on Y + merge).
-The reference binary does 0.0178 MP/s on this host; ``vs_baseline`` is the
+The reference binary does 0.0707 MP/s on this host at x2 (idle-host
+4-OMP-core re-measurement, BASELINE_MEASURED.md); ``vs_baseline`` is the
 speedup over that.
 
 Methodology notes (axon relay environment):
