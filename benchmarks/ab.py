@@ -84,7 +84,15 @@ def _kernel_experiment(name: str, flags):
                   dict(true_h=h, rpb=rpb))
                  for th, tw, rpb in [(64, 3712, 1), (72, 3712, 1),
                                      (80, 3712, 1), (64, 1856, 2),
-                                     (32, 3712, 1), (64, 2560, 1)]]
+                                     (32, 3712, 1), (64, 2560, 1),
+                                     # round-5 retry of taller tiles: the
+                                     # round-2 th<=80 cap predates the
+                                     # u8-out quant kernel (smaller out
+                                     # blocks; VMEM profile changed)
+                                     (88, 3712, 1), (96, 3712, 1),
+                                     (104, 3712, 1), (120, 3712, 1),
+                                     (128, 3712, 1), (136, 3712, 1),
+                                     (152, 3712, 1)]]
         return (h, wc), True, b * h * w / 1e6, cases
     if name == "quant":
         b, h, w = (8, H4K, W4K) if "4k" in flags else (32, 1080, 1920)

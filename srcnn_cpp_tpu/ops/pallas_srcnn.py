@@ -610,17 +610,23 @@ def _pick_tiles(h: int, w: int) -> tuple[int, int]:
     monotonically with tile area — (16,640) 671 -> (32,1280) 855 ->
     (64,1280) 881 -> (64,3840) 923 at single-4K; at the packed batch
     geometry (72,3712)/(80,3712) beat (64,3712) by 2.7-3.5% (fewer halo
-    rows; 72 divides 1080, 80 divides 2160); (96,1280) regresses (VMEM
-    pressure), so th caps at 80.  The cost model: per-feature-row work is
-    amortized over tw pixels, and redundant halo rows per tile fall as
-    (th+4)/th — so take the FULL image width (capped at 3840, where cc +
-    intermediates stay ~11 MB of the ~16 MB VMEM) and the tallest
+    rows; 72 divides 1080, 80 divides 2160).  The round-2 th<=80 cap
+    came from a (96,1280) VMEM spill of the F32-OUT kernel; the round-5
+    re-sweep with the u8-out quant kernel (benchmarks/ab.py kernel
+    packed[,4k]) compiles through th=136 and measures th=120 best at the
+    4K composite (32.53 ms vs 80's 34.12) and second-best at 1080p
+    (30.81 vs 136's 30.24, vs 72's 31.41) — the cap moves to 128, whose
+    feature-row objective picks 120 at every production height (120
+    divides both 1080 and 2160).  The cost model: per-feature-row work
+    is amortized over tw pixels, and redundant halo rows per tile fall
+    as (th+4)/th — so take the FULL image width (capped at 3840, where
+    cc + intermediates stay inside the ~16 MB VMEM) and the tallest
     non-spilling th.  tw is a lane multiple (128); th a sublane multiple
     (8), shrunk for short images to avoid padding blowup.
     """
     # th: minimize total feature rows computed, ceil(h/th) * (th + 4 halo),
-    # over sublane-multiple heights up to 80 (ties -> taller, fewer tiles)
-    th = min((-(-h // t) * (t + 4), -t) for t in range(8, 88, 8))
+    # over sublane-multiple heights up to 128 (ties -> taller, fewer tiles)
+    th = min((-(-h // t) * (t + 4), -t) for t in range(8, 136, 8))
     th = -th[1]
     cols = max(1, -(-w // 3840))
     tw = max(128, -(-(-(-w // cols)) // 128) * 128)

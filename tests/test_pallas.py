@@ -71,14 +71,15 @@ def test_pick_tiles_policy():
     for h, w in [(2160, 3840), (1080, 1920), (540, 960), (270, 1932),
                  (100, 100), (8, 128), (7, 60), (4320, 7680), (33, 640)]:
         th, tw = _pick_tiles(h, w)
-        assert th % 8 == 0 and 8 <= th <= 80
+        assert th % 8 == 0 and 8 <= th <= 128
         assert tw % 128 == 0 and tw <= 3840
         # grids cover the plane
         assert -(-h // th) * th >= h and -(-w // tw) * tw >= w
     # full-width tiles at the production geometries; th divides the row
-    # count exactly where possible (80 | 2160, 72 | 1080)
-    assert _pick_tiles(2160, 3840) == (80, 3840)
-    assert _pick_tiles(1080, 1920) == (72, 1920)
+    # count exactly where possible (120 | 2160 and 120 | 1080 — the
+    # round-5 measured-best tall tile, ab.py kernel packed/packed4k)
+    assert _pick_tiles(2160, 3840) == (120, 3840)
+    assert _pick_tiles(1080, 1920) == (120, 1920)
 
 
 def test_row_clamp_plan_matches_reference_semantics():
